@@ -1,0 +1,126 @@
+"""Aberrations, apertures and the contrast-transfer function (SURVEY.md C10).
+
+Conventions (SURVEY.md Appendix A):
+    chi(q) = pi*lambda*C1*q^2 + (pi/2)*C3*lambda^3*q^4 + (pi/3)*C5*lambda^5*q^6
+             + pi*lambda*A1*q^2*cos(2*(phi - phi_A1))
+    CTF(q) = A(q) * exp(-1j*chi(q)) * E_t(q) * E_s(q)
+with C1 the defocus (positive = underfocus in this code's convention — the
+sign only has to be consistent between forward and inverse paths, and is
+pinned by tests), A(q) a hard circular aperture on the scattering semi-angle
+theta = lambda*q, E_t the temporal-coherence envelope for defocus spread
+``delta_A`` and E_s the source-spread envelope for semi-angle ``theta_c``:
+    E_t = exp(-0.5*(pi*lambda*delta)^2 * q^4)
+    E_s = exp(-(pi*theta_c)^2 * (C1*q + C3*lambda^2*q^3)^2)
+
+Everything here is built on the host in float64 (phases exact before any
+cast, SURVEY.md §7 precision risk) and returned as NumPy; jitted callers cast
+to device dtype.  Defocus enters separately in ``ctf`` so a defocus SERIES is
+one stacked host array (SURVEY.md C10/C11, vmapped in imaging.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .grids import Grid
+
+
+@dataclasses.dataclass(frozen=True)
+class Aberrations:
+    """Axial aberration coefficients, all in Å except angles in rad.
+
+    defocus: C1 (Å).  cs: C3 / spherical (Å).  c5: fifth order (Å).
+    a1: twofold astigmatism magnitude (Å), a1_angle its azimuth (rad).
+    """
+
+    defocus: float = 0.0
+    cs: float = 0.0
+    c5: float = 0.0
+    a1: float = 0.0
+    a1_angle: float = 0.0
+
+
+def chi(grid: Grid, wavelength_A: float, ab: Aberrations) -> np.ndarray:
+    """Aberration phase chi(q) in rad, float64 (ny, nx)."""
+    qy, qx = grid.q_grids()
+    q2 = qy * qy + qx * qx
+    lam = wavelength_A
+    phase = np.pi * lam * ab.defocus * q2
+    if ab.cs:
+        phase = phase + 0.5 * np.pi * ab.cs * lam**3 * q2 * q2
+    if ab.c5:
+        phase = phase + (np.pi / 3.0) * ab.c5 * lam**5 * q2 * q2 * q2
+    if ab.a1:
+        phi = np.arctan2(qy, qx)
+        phase = phase + np.pi * lam * ab.a1 * q2 * np.cos(2.0 * (phi - ab.a1_angle))
+    return phase
+
+
+def aperture(grid: Grid, wavelength_A: float, semiangle_rad: float) -> np.ndarray:
+    """Hard circular objective aperture A(q): 1 where lambda*|q| <= alpha."""
+    if semiangle_rad <= 0:
+        return np.ones(grid.shape, dtype=np.float64)
+    q2 = grid.q2()
+    qmax = semiangle_rad / wavelength_A
+    return (q2 <= qmax * qmax).astype(np.float64)
+
+
+def envelopes(
+    grid: Grid,
+    wavelength_A: float,
+    ab: Aberrations,
+    defocus_spread_A: float = 0.0,
+    source_semiangle_rad: float = 0.0,
+) -> np.ndarray:
+    """Partial-coherence damping E_t(q)*E_s(q), float64 (ny, nx)."""
+    q2 = grid.q2()
+    env = np.ones(grid.shape, dtype=np.float64)
+    lam = wavelength_A
+    if defocus_spread_A > 0.0:
+        env = env * np.exp(-0.5 * (np.pi * lam * defocus_spread_A) ** 2 * q2 * q2)
+    if source_semiangle_rad > 0.0:
+        q = np.sqrt(q2)
+        grad = ab.defocus * q + ab.cs * lam**2 * q2 * q
+        env = env * np.exp(-((np.pi * source_semiangle_rad) ** 2) * grad * grad)
+    return env
+
+
+def ctf(
+    grid: Grid,
+    wavelength_A: float,
+    ab: Aberrations,
+    aperture_semiangle_rad: float = 0.0,
+    defocus_spread_A: float = 0.0,
+    source_semiangle_rad: float = 0.0,
+) -> np.ndarray:
+    """Complex CTF(q) = A * exp(-1j*chi) * E_t * E_s, complex128 (ny, nx)."""
+    amp = aperture(grid, wavelength_A, aperture_semiangle_rad) * envelopes(
+        grid, wavelength_A, ab, defocus_spread_A, source_semiangle_rad
+    )
+    return amp * np.exp(-1j * chi(grid, wavelength_A, ab))
+
+
+def ctf_series(
+    grid: Grid,
+    wavelength_A: float,
+    defoci_A: np.ndarray,
+    base: Aberrations = Aberrations(),
+    aperture_semiangle_rad: float = 0.0,
+    defocus_spread_A: float = 0.0,
+    source_semiangle_rad: float = 0.0,
+) -> np.ndarray:
+    """Stacked CTFs for a defocus series: complex128 (ndefoci, ny, nx)."""
+    out = np.empty((len(defoci_A),) + grid.shape, dtype=np.complex128)
+    for i, df in enumerate(np.asarray(defoci_A, dtype=np.float64)):
+        ab = dataclasses.replace(base, defocus=float(df))
+        out[i] = ctf(
+            grid,
+            wavelength_A,
+            ab,
+            aperture_semiangle_rad,
+            defocus_spread_A,
+            source_semiangle_rad,
+        )
+    return out

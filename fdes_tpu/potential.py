@@ -1,0 +1,173 @@
+"""FFT-based projected-potential builder (SURVEY.md C5, §3.3).
+
+This is the reference paper's headline algorithm (Van den Broek, Jiang &
+Koch, Ultramicroscopy 158 (2015)): instead of summing every atom's potential
+over every pixel (O(atoms * N^2)), scatter atoms as weighted deltas onto the
+grid, FFT once per species, multiply by the species' Fourier-space potential
+factor, and inverse-FFT — O(N^2 log N + atoms) per slice.
+
+TPU-native realisation (vs the reference's atomicAdd scatter kernel + cuFFT,
+SURVEY.md §3.3):
+
+* ONE ``jnp.zeros(...).at[flat_idx].add(w)`` XLA scatter-add places all four
+  bilinear corners of every atom of every slice/species at once — flat
+  static-shape arrays from `specimen.slice_specimen`, no per-slice padding,
+  no atomics (XLA scatter-add is well-defined; SURVEY.md §5 race row).
+* The delta grids are real, so the per-species transform is an ``rfft2``
+  (half the FFT work of the reference's C2C plan).
+* Sub-pixel placement is bilinear interpolation of the delta onto its four
+  neighbouring pixels with periodic wrap.  Under the 2/3-Nyquist band limit
+  the resulting error is O((q*px)^2) and is validated against an
+  exact-phase-summation golden builder in tests (golden.py).
+
+Units: the returned potential stack is the PROJECTED potential per slice in
+V*Å, so the slice phase is simply sigma * V (constants.py conventions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grids import Grid
+from .scattering import ScatteringTable, species_form_factors
+from .specimen import SlicedAtoms
+
+
+def rfft_q2(grid: Grid) -> np.ndarray:
+    """|q|^2 on the rfft2 output grid (ny, nx//2 + 1), float64, 1/Å^2."""
+    qy = np.fft.fftfreq(grid.ny, d=grid.py)[:, None]
+    qx = np.fft.rfftfreq(grid.nx, d=grid.px)[None, :]
+    return qy * qy + qx * qx
+
+
+def species_factors_rfft(
+    grid: Grid,
+    species: tuple[tuple[int, float], ...],
+    table: ScatteringTable | None = None,
+) -> np.ndarray:
+    """(nspecies, ny, nx//2+1) float64 Fourier factors, V*Å^3 (host, f64)."""
+    return species_form_factors(rfft_q2(grid), list(species), table)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nslices", "nspecies", "shape", "pixel", "dtype"),
+)
+def scatter_deltas(
+    x: jax.Array,
+    y: jax.Array,
+    slice_idx: jax.Array,
+    species_idx: jax.Array,
+    weight: jax.Array,
+    *,
+    nslices: int,
+    nspecies: int,
+    shape: tuple[int, int],
+    pixel: tuple[float, float],
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Bilinear periodic scatter of atoms onto (S, nspecies, ny, nx) grids."""
+    ny, nx = shape
+    py, px = pixel
+    fy = jnp.asarray(y, dtype) / dtype(py)
+    fx = jnp.asarray(x, dtype) / dtype(px)
+    iy0 = jnp.floor(fy)
+    ix0 = jnp.floor(fx)
+    wy1 = fy - iy0
+    wx1 = fx - ix0
+    iy0 = iy0.astype(jnp.int32)
+    ix0 = ix0.astype(jnp.int32)
+    w = jnp.asarray(weight, dtype)
+    plane = jnp.asarray(slice_idx, jnp.int32) * nspecies + jnp.asarray(
+        species_idx, jnp.int32
+    )
+
+    idxs = []
+    vals = []
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        iy = jnp.mod(iy0 + dy, ny)
+        ix = jnp.mod(ix0 + dx, nx)
+        cw = (wy1 if dy else 1.0 - wy1) * (wx1 if dx else 1.0 - wx1)
+        idxs.append((plane * ny + iy) * nx + ix)
+        vals.append(w * cw)
+    flat_idx = jnp.concatenate(idxs)
+    flat_val = jnp.concatenate(vals)
+    g = jnp.zeros((nslices * nspecies * ny * nx,), dtype)
+    g = g.at[flat_idx].add(flat_val)
+    return g.reshape(nslices, nspecies, ny, nx)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "pixel", "slice_chunk"))
+def deltas_to_potential(
+    deltas: jax.Array,
+    ff_r: jax.Array,
+    *,
+    shape: tuple[int, int],
+    pixel: tuple[float, float],
+    slice_chunk: int | None = None,
+) -> jax.Array:
+    """FFT * form-factor * IFFT: (S, nsp, ny, nx) deltas -> (S, ny, nx) V*Å.
+
+    slice_chunk bounds peak memory by mapping the batched FFT over groups of
+    slices (lax.map), for large S*N^2 (pod config, SURVEY.md §7).
+    """
+    ny, nx = shape
+    py, px = pixel
+    inv_area = 1.0 / (py * px)
+
+    def one_chunk(d):
+        vq = jnp.fft.rfft2(d)  # (chunk, nsp, ny, nxr)
+        vq = jnp.sum(vq * ff_r[None].astype(vq.dtype), axis=1)
+        return jnp.fft.irfft2(vq, s=(ny, nx)) * jnp.asarray(inv_area, d.dtype)
+
+    if slice_chunk is None or deltas.shape[0] <= slice_chunk:
+        return one_chunk(deltas)
+    s = deltas.shape[0]
+    nchunk = -(-s // slice_chunk)
+    pad = nchunk * slice_chunk - s
+    d = jnp.pad(deltas, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    d = d.reshape(nchunk, slice_chunk, *deltas.shape[1:])
+    v = jax.lax.map(one_chunk, d)
+    return v.reshape(nchunk * slice_chunk, ny, nx)[:s]
+
+
+def build_potential(
+    sliced: SlicedAtoms,
+    grid: Grid,
+    table: ScatteringTable | None = None,
+    dtype=jnp.float32,
+    slice_chunk: int | None = None,
+) -> jax.Array:
+    """Host-facing wrapper: SlicedAtoms -> (S, ny, nx) projected potential.
+
+    Form factors are evaluated on the host in f64 (scattering.py) and cast;
+    the scatter + FFT pipeline runs jitted on device.
+    """
+    # Host-side f64 -> device dtype casts happen in NumPy BEFORE transfer:
+    # the TPU has no f64, and an eager on-device convert_element_type from a
+    # shipped f64 buffer fails at runtime.
+    rdt = np.dtype(jnp.dtype(dtype).name)
+    ff = species_factors_rfft(grid, sliced.species, table).astype(rdt)
+    deltas = scatter_deltas(
+        jnp.asarray(sliced.x.astype(rdt)),
+        jnp.asarray(sliced.y.astype(rdt)),
+        jnp.asarray(sliced.slice_idx),
+        jnp.asarray(sliced.species_idx),
+        jnp.asarray(sliced.weight.astype(rdt)),
+        nslices=sliced.nslices,
+        nspecies=len(sliced.species),
+        shape=grid.shape,
+        pixel=(grid.py, grid.px),
+        dtype=dtype,
+    )
+    return deltas_to_potential(
+        deltas,
+        jnp.asarray(ff),
+        shape=grid.shape,
+        pixel=(grid.py, grid.px),
+        slice_chunk=slice_chunk,
+    )

@@ -1,0 +1,100 @@
+"""Multislice propagation engine — the hot loop (SURVEY.md C8, §3.1).
+
+The reference iterates ψ <- IFFT(P * FFT(t_j * ψ)) with ~6-10 kernel
+launches + 2 cuFFT calls per slice, crossing the host boundary every slice
+(SURVEY.md §3.1).  Here the WHOLE slice horizon is one ``lax.scan`` inside
+one XLA program: zero host crossings, XLA fuses the elementwise transmission
+and propagator multiplies into the FFT pipeline.  An optional Pallas kernel
+(pallas/slice_step.py) fuses the transmission construction exp(i*sigma*V)*psi
+into a single VMEM pass; it is benchmark-selected, not assumed faster than
+XLA fusion (SURVEY.md §7 M6).
+
+Adjoint: gradients flow through the scan via ``jax.grad``; memory for long
+horizons is bounded with sqrt(S)-chunked rematerialisation
+(``remat_chunk``): the scan is split into S/chunk outer steps, each a
+``jax.checkpoint``-wrapped inner scan, so the stored state is
+O(S/chunk + chunk) waves instead of O(S) (SURVEY.md §5 long-context row —
+this replaces the reference's S resident forward waves, §3.2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def transmit(psi: jax.Array, v_slice: jax.Array, sigma: float) -> jax.Array:
+    """Apply the slice transmission t = exp(1j*sigma*V) to the wave.
+
+    Computed as cos/sin of the real phase so no complex exp is materialised;
+    V in V*Å, sigma in rad/(V*Å) (constants.py).
+    """
+    rdt = psi.real.dtype
+    phase = jnp.asarray(sigma, rdt) * v_slice.astype(rdt)
+    t = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return psi * t
+
+
+def default_slice_step(
+    psi: jax.Array, v_slice: jax.Array, propagator: jax.Array, sigma: float
+) -> jax.Array:
+    """One multislice step: ψ <- IFFT(P * FFT(exp(1j σ V) ψ))."""
+    psi = transmit(psi, v_slice, sigma)
+    return jnp.fft.ifft2(jnp.fft.fft2(psi) * propagator.astype(psi.dtype))
+
+
+def pick_remat_chunk(nslices: int) -> int:
+    """Divisor of nslices nearest sqrt(nslices) (sqrt-S remat policy)."""
+    if nslices <= 4:
+        return nslices
+    target = math.sqrt(nslices)
+    best = 1
+    for d in range(1, nslices + 1):
+        if nslices % d == 0 and abs(d - target) < abs(best - target):
+            best = d
+    return best
+
+
+def multislice(
+    psi0: jax.Array,
+    v_stack: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    *,
+    remat_chunk: int | None = None,
+    slice_step: Callable[..., jax.Array] | None = None,
+) -> jax.Array:
+    """Propagate psi0 through all slices of v_stack; returns the exit wave.
+
+    psi0: (ny, nx) complex; v_stack: (S, ny, nx) real projected potentials
+    in V*Å; propagator: (ny, nx) complex band-limited Fresnel factor for the
+    (uniform) slice spacing.  remat_chunk: 0/None = no rematerialisation
+    (fastest forward, O(S) adjoint memory); 'auto' is available via
+    pick_remat_chunk; otherwise must divide S.
+    """
+    step = slice_step or default_slice_step
+
+    def body(psi, v_slice):
+        return step(psi, v_slice, propagator, sigma), None
+
+    s = v_stack.shape[0]
+    if not remat_chunk or remat_chunk >= s:
+        return jax.lax.scan(body, psi0, v_stack)[0]
+
+    if s % remat_chunk != 0:
+        raise ValueError(f"remat_chunk {remat_chunk} must divide nslices {s}")
+
+    inner_len = remat_chunk
+    v_chunks = v_stack.reshape(s // inner_len, inner_len, *v_stack.shape[1:])
+
+    @jax.checkpoint
+    def inner(psi, v_chunk):
+        return jax.lax.scan(body, psi, v_chunk)[0]
+
+    def outer(psi, v_chunk):
+        return inner(psi, v_chunk), None
+
+    return jax.lax.scan(outer, psi0, v_chunks)[0]

@@ -1,0 +1,150 @@
+"""Multislice engine tests (SURVEY §4): unitarity, free space, pure phase
+object, remat equivalence, and the BASELINE config-1 golden gate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdes_tpu.constants import interaction_sigma, wavelength_A
+from fdes_tpu.golden import golden_multislice
+from fdes_tpu.grids import Grid, fresnel_propagator
+from fdes_tpu.potential import build_potential
+from fdes_tpu.probe import plane_wave
+from fdes_tpu.propagate import multislice, pick_remat_chunk
+
+KV = 300e3
+
+
+def _setup(grid, dz, bandlimit=2.0 / 3.0):
+    lam = wavelength_A(KV)
+    sigma = interaction_sigma(KV)
+    prop = fresnel_propagator(grid, lam, dz, bandlimit=bandlimit)
+    return sigma, prop
+
+
+def test_free_space_is_bandlimited_identity():
+    g = Grid(ny=32, nx=32, py=0.2, px=0.2)
+    sigma, prop = _setup(g, dz=2.0)
+    v = jnp.zeros((5, 32, 32))
+    psi0 = plane_wave(g, wavelength_A(KV), dtype=jnp.complex128)
+    out = multislice(psi0, v, jnp.asarray(prop), sigma)
+    # plane wave at q=0 passes the band limit untouched
+    np.testing.assert_allclose(np.asarray(out), np.ones((32, 32)), atol=1e-12)
+
+
+def test_norm_conserved_without_bandlimit(rng):
+    g = Grid(ny=32, nx=32, py=0.2, px=0.2)
+    sigma, prop = _setup(g, dz=1.5, bandlimit=None)
+    v = jnp.asarray(rng.normal(size=(6, 32, 32)) * 10.0)
+    psi0 = jnp.asarray(
+        rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))
+    ).astype(jnp.complex128)
+    out = multislice(psi0, v, jnp.asarray(prop), sigma)
+    np.testing.assert_allclose(
+        float(jnp.sum(jnp.abs(out) ** 2)),
+        float(jnp.sum(jnp.abs(psi0) ** 2)),
+        rtol=1e-12,
+    )
+
+
+def test_pure_phase_object_dz0(rng):
+    """dz=0 propagator (no band limit) makes multislice an exact phase
+    object: psi = exp(i sigma sum_j V_j)."""
+    g = Grid(ny=16, nx=16, py=0.3, px=0.3)
+    sigma, prop = _setup(g, dz=0.0, bandlimit=None)
+    v = jnp.asarray(rng.normal(size=(4, 16, 16)))
+    psi0 = plane_wave(g, wavelength_A(KV), dtype=jnp.complex128)
+    out = multislice(psi0, v, jnp.asarray(prop), sigma)
+    expect = np.exp(1j * sigma * np.asarray(v).sum(0))
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-12)
+
+
+def test_pick_remat_chunk():
+    assert pick_remat_chunk(512) in (16, 32)
+    assert 512 % pick_remat_chunk(512) == 0
+    assert pick_remat_chunk(16) == 4
+    assert pick_remat_chunk(1) == 1
+    assert pick_remat_chunk(13) in (1, 13)
+
+
+def test_remat_chunks_bitwise_equivalent(rng):
+    g = Grid(ny=16, nx=16, py=0.3, px=0.3)
+    sigma, prop = _setup(g, dz=1.0)
+    v = jnp.asarray(rng.normal(size=(12, 16, 16)) * 5.0)
+    psi0 = plane_wave(g, wavelength_A(KV), dtype=jnp.complex128)
+    prop = jnp.asarray(prop)
+    full = multislice(psi0, v, prop, sigma)
+    for chunk in (2, 3, 4, 6):
+        out = multislice(psi0, v, prop, sigma, remat_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-13)
+    with pytest.raises(ValueError):
+        multislice(psi0, v, prop, sigma, remat_chunk=5)
+
+
+def test_beam_tilt_plane_wave_phase_matches_golden():
+    g = Grid(ny=32, nx=32, py=0.25, px=0.25)
+    lam = wavelength_A(KV)
+    tilt = (1e-3, -2e-3)
+    psi = np.asarray(plane_wave(g, lam, tilt, dtype=jnp.complex128))
+    np.testing.assert_allclose(np.abs(psi), 1.0, atol=1e-12)
+    # phase gradient along x equals 2 pi tan(tx)/lambda
+    dphase = np.angle(psi[0, 1] / psi[0, 0])
+    np.testing.assert_allclose(
+        dphase, 2 * np.pi * np.tan(tilt[0]) * g.px / lam, rtol=1e-9
+    )
+
+
+def test_config1_exit_wave_vs_golden_f64(si110_config1):
+    """BASELINE config 1 (both impls at f64): independent-code agreement."""
+    _, grid, sliced = si110_config1
+    v64 = build_potential(sliced, grid, dtype=jnp.float64)
+    sigma, prop = _setup(grid, sliced.dz)
+    psi0 = plane_wave(grid, wavelength_A(KV), dtype=jnp.complex128)
+    dev = np.asarray(multislice(psi0, v64, jnp.asarray(prop), sigma))
+    gold = golden_multislice(
+        np.ones(grid.shape, np.complex128), np.asarray(v64), grid, KV, sliced.dz
+    )
+    rel = np.linalg.norm(dev - gold) / np.linalg.norm(gold)
+    assert rel < 1e-12
+
+
+def test_config1_exit_wave_c64_gate(si110_config1):
+    """BASELINE gate: exit-wave rel-err <= 1e-5 at device precision (c64)
+    against the f64 golden pipeline (BASELINE.md row 3)."""
+    _, grid, sliced = si110_config1
+    v_gold = build_potential(sliced, grid, dtype=jnp.float64)
+    gold = golden_multislice(
+        np.ones(grid.shape, np.complex128),
+        np.asarray(v_gold),
+        grid,
+        KV,
+        sliced.dz,
+    )
+    v32 = build_potential(sliced, grid, dtype=jnp.float32)
+    sigma, prop = _setup(grid, sliced.dz)
+    psi0 = plane_wave(grid, wavelength_A(KV), dtype=jnp.complex64)
+    dev = np.asarray(
+        multislice(psi0, v32, jnp.asarray(prop, jnp.complex64), sigma)
+    )
+    rel = np.linalg.norm(dev - gold) / np.linalg.norm(gold)
+    assert rel < 1e-5, f"config-1 c64 exit-wave rel-err {rel:.2e} exceeds 1e-5"
+
+
+def test_multislice_jit_and_grad_smoke(rng):
+    """value_and_grad through the scan compiles and is finite (M3 preview)."""
+    g = Grid(ny=16, nx=16, py=0.3, px=0.3)
+    sigma, prop = _setup(g, dz=1.0)
+    prop = jnp.asarray(prop, jnp.complex64)
+    psi0 = plane_wave(g, wavelength_A(KV))
+    v = jnp.asarray(rng.normal(size=(4, 16, 16)), jnp.float32)
+
+    @jax.jit
+    def loss(v):
+        out = multislice(psi0, v, prop, sigma, remat_chunk=2)
+        return jnp.sum(jnp.abs(out) ** 2 * jnp.arange(16.0)[None, :])
+
+    val, grad = jax.value_and_grad(loss)(v)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+    assert float(jnp.abs(grad).max()) > 0

@@ -1,0 +1,107 @@
+"""Potential-builder tests: device FFT builder vs golden implementations
+(SURVEY §3.3 / §4). Gates: device-vs-golden-bilinear agreement at f64 is
+machine-level; bilinear-vs-exact agreement is the documented interpolation
+error bound under band-limiting."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fdes_tpu.golden import golden_potential_bilinear, golden_potential_exact
+from fdes_tpu.grids import Grid
+from fdes_tpu.potential import build_potential, rfft_q2, species_factors_rfft
+
+
+def _bandlimit(v, grid):
+    """Apply the 2/3 mask so comparisons reflect frequencies actually used."""
+    mask = grid.bandlimit_mask()
+    return np.real(np.fft.ifft2(np.fft.fft2(v, axes=(-2, -1)) * mask, axes=(-2, -1)))
+
+
+def test_rfft_q2_layout():
+    g = Grid(ny=8, nx=8, py=0.5, px=0.5)
+    q2 = rfft_q2(g)
+    assert q2.shape == (8, 5)
+    assert q2[0, 0] == 0.0
+    assert q2[0, 4] == 1.0  # nyquist along x: (1/(2*0.5))^2 = 1
+
+
+def test_species_factors_positive_finite(si110_small):
+    _, grid, sliced = si110_small
+    ff = species_factors_rfft(grid, sliced.species)
+    assert ff.shape == (1, grid.ny, grid.nx // 2 + 1)
+    assert np.all(np.isfinite(ff))
+    assert np.all(ff > 0)
+
+
+def test_device_builder_matches_golden_bilinear_f64(si110_small):
+    _, grid, sliced = si110_small
+    v_dev = np.asarray(
+        build_potential(sliced, grid, dtype=jnp.float64), dtype=np.float64
+    )
+    v_gold = golden_potential_bilinear(sliced, grid)
+    assert v_dev.shape == v_gold.shape
+    scale = np.abs(v_gold).max()
+    np.testing.assert_allclose(v_dev, v_gold, atol=1e-10 * scale)
+
+
+def test_device_builder_f32_close_to_f64_golden(si110_small):
+    _, grid, sliced = si110_small
+    v_dev = np.asarray(build_potential(sliced, grid, dtype=jnp.float32))
+    v_gold = golden_potential_bilinear(sliced, grid)
+    scale = np.abs(v_gold).max()
+    rel = np.abs(v_dev - v_gold).max() / scale
+    assert rel < 1e-5
+
+
+def test_bilinear_vs_exact_within_interpolation_error(si110_small):
+    _, grid, sliced = si110_small
+    v_bil = _bandlimit(golden_potential_bilinear(sliced, grid), grid)
+    v_exact = _bandlimit(golden_potential_exact(sliced, grid), grid)
+    scale = np.abs(v_exact).max()
+    rel = np.abs(v_bil - v_exact).max() / scale
+    # bilinear delta placement has O((pi*q*px)^2/4) attenuation at the band
+    # edge; a few percent max error on a 64px grid is the expected regime.
+    assert rel < 0.05
+
+
+def test_potential_integral_matches_fe0(si110_small):
+    """sum(V)*pixel_area == natoms * C * f_e(0) * exp(0): the DC component of
+    the built potential must equal the analytic zero-frequency limit."""
+    from fdes_tpu.constants import POTENTIAL_PREFACTOR
+    from fdes_tpu.scattering import wentzel_fe
+
+    _, grid, sliced = si110_small
+    v = golden_potential_bilinear(sliced, grid)
+    total = v.sum() * grid.pixel_area
+    z, b = sliced.species[0]
+    expect = sliced.weight.sum() * POTENTIAL_PREFACTOR * wentzel_fe(0.0, z)
+    np.testing.assert_allclose(total, expect, rtol=1e-10)
+
+
+def test_slice_chunking_equivalent(si110_small):
+    _, grid, sliced = si110_small
+    v_full = np.asarray(build_potential(sliced, grid, dtype=jnp.float64))
+    v_chunked = np.asarray(
+        build_potential(sliced, grid, dtype=jnp.float64, slice_chunk=3)
+    )
+    np.testing.assert_allclose(v_full, v_chunked, atol=1e-12)
+
+
+def test_translation_equivariance():
+    """Shifting all atoms by an integer pixel count circularly shifts V."""
+    from fdes_tpu.specimen import SlicedAtoms
+
+    grid = Grid(ny=32, nx=32, py=0.25, px=0.25)
+    base = dict(
+        slice_idx=np.zeros(3, np.int32),
+        species_idx=np.zeros(3, np.int32),
+        weight=np.ones(3),
+        species=((14, 0.0),),
+        nslices=1,
+        dz=1.0,
+    )
+    s1 = SlicedAtoms(x=np.array([1.0, 3.1, 5.7]), y=np.array([2.0, 4.2, 6.6]), **base)
+    s2 = SlicedAtoms(x=s1.x + 4 * grid.px, y=s1.y + 2 * grid.py, **base)
+    v1 = golden_potential_bilinear(s1, grid)
+    v2 = golden_potential_bilinear(s2, grid)
+    np.testing.assert_allclose(np.roll(v1, (2, 4), axis=(1, 2)), v2, atol=1e-9)
