@@ -1,0 +1,116 @@
+"""Headline benchmark: slice-propagations/s/chip (BASELINE.md metric row).
+
+Runs a config-4-flavored workload on the default JAX backend (the real TPU
+chip under the driver): batched STEM-style multislice rollouts at 512x512
+with 128 slices, steady-state timed after compile.  Prints ONE JSON line:
+
+    {"metric": "slice_propagations_per_s_per_chip", "value": N,
+     "unit": "slice-props/s/chip", "vs_baseline": R}
+
+vs_baseline: ratio against the most recent recorded BENCH_r*.json in the
+repo root (the previous round's own number); 1.0 when none exists — the
+upstream reference published no recoverable figures (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+
+def _previous_round_value() -> float | None:
+    best = None
+    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            val = float(data["value"]) if isinstance(data, dict) else None
+        except (ValueError, KeyError, json.JSONDecodeError, OSError):
+            continue
+        if val:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, val)
+    return best[1] if best else None
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    import fdes_tpu as f
+    from fdes_tpu.grids import Grid, host_cast
+    from fdes_tpu.potential import build_potential
+
+    n = int(os.environ.get("FDES_BENCH_N", "512"))
+    nslices = int(os.environ.get("FDES_BENCH_SLICES", "128"))
+    nprobes = int(os.environ.get("FDES_BENCH_PROBES", "16"))
+    reps = int(os.environ.get("FDES_BENCH_REPS", "10"))
+
+    kv = 300e3
+    spec = f.make_si110_supercell(reps=(6, 4, 8))
+    lx, ly, lz = spec.box
+    grid = Grid(ny=n, nx=n, py=ly / n, px=lx / n)
+    sliced = f.slice_specimen(spec, nslices=nslices, dz=float(lz) / nslices)
+    lam = f.wavelength_A(kv)
+    sigma = f.interaction_sigma(kv)
+
+    v = build_potential(sliced, grid, dtype=jnp.float32)
+    prop = jnp.asarray(host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64))
+    stencil = jnp.asarray(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
+    qy = jnp.asarray(host_cast(grid.qy()[:, None], jnp.float32))
+    qx = jnp.asarray(host_cast(grid.qx()[None, :], jnp.float32))
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(
+        (rng.random((nprobes, 2)) * np.array([grid.extent[0], grid.extent[1]])).astype(
+            np.float32
+        )
+    )
+
+    from fdes_tpu.probe import probe_from_stencil
+    from fdes_tpu.propagate import multislice
+
+    def rollout_batch(v_stack, positions):
+        def one(p):
+            psi0 = probe_from_stencil(stencil, qy, qx, p, dtype=jnp.complex64)
+            psi = multislice(psi0, v_stack, prop, sigma)
+            # cheap reduction so nothing is dead-code-eliminated
+            return jnp.sum(jnp.abs(psi) ** 2)
+
+        return jnp.sum(jax.vmap(one)(positions))
+
+    step = jax.jit(rollout_batch)
+    step(v, pos).block_until_ready()  # compile
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(reps):
+        acc = step(v, pos)
+    acc.block_until_ready()
+    dt = (time.time() - t0) / reps
+
+    slice_props = nprobes * nslices / dt
+    prev = _previous_round_value()
+    print(
+        json.dumps(
+            {
+                "metric": "slice_propagations_per_s_per_chip",
+                "value": round(slice_props, 2),
+                "unit": "slice-props/s/chip",
+                "vs_baseline": round(slice_props / prev, 3) if prev else 1.0,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

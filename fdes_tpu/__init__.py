@@ -7,18 +7,24 @@ gradient descent, designed SPMD-first for TPU meshes.  See SURVEY.md for the
 reference blueprint and fdes_tpu/constants.py for all physics conventions.
 """
 
+from .config import Config, load_config
 from .constants import interaction_sigma, lorentz_gamma, wavelength_A
+from .forward import exit_wave, hrtem_defocus_series, hrtem_tilt_series, stem_raster
 from .grids import Grid, fresnel_propagator
+from .loss import l2_mismatch, make_loss
 from .optics import Aberrations, aperture, chi, ctf, ctf_series, envelopes
 from .probe import plane_wave, probe_from_stencil, probe_stencil
 from .propagate import multislice, pick_remat_chunk, transmit
+from .reconstruct import make_optimizer, reconstruct
 from .scattering import ScatteringTable, load_kirkland_table
+from .sharding import make_mesh, shard_measurements, sharded_value_and_grad
 from .specimen import Specimen, SlicedAtoms, make_si110_supercell, slice_specimen
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Aberrations",
+    "Config",
     "Grid",
     "ScatteringTable",
     "SlicedAtoms",
@@ -28,17 +34,29 @@ __all__ = [
     "ctf",
     "ctf_series",
     "envelopes",
+    "exit_wave",
     "fresnel_propagator",
+    "hrtem_defocus_series",
+    "hrtem_tilt_series",
     "interaction_sigma",
+    "l2_mismatch",
+    "load_config",
     "load_kirkland_table",
     "lorentz_gamma",
+    "make_loss",
+    "make_mesh",
+    "make_optimizer",
     "make_si110_supercell",
     "multislice",
     "pick_remat_chunk",
     "plane_wave",
     "probe_from_stencil",
     "probe_stencil",
+    "reconstruct",
+    "shard_measurements",
+    "sharded_value_and_grad",
     "slice_specimen",
+    "stem_raster",
     "transmit",
     "wavelength_A",
 ]

@@ -1,0 +1,150 @@
+"""Command-line driver (SURVEY.md C1, L0).
+
+Usage:
+    python -m fdes_tpu.cli <config.toml> [--mode forward|hrtem|invert|stem]
+                           [--set section.key=value ...] [--resume]
+
+Replaces the reference's `FDES <input-file>` entry (SURVEY.md C1): parse
+config, build the simulation state, dispatch the requested mode, write .npy
+outputs and JSONL metrics under ``output_dir``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="fdes-tpu", description=__doc__)
+    ap.add_argument("config", help="TOML/JSON config file")
+    ap.add_argument("--mode", default=None, help="override config mode")
+    ap.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="KEY=VAL",
+        help="dotted config override, e.g. --set sim.nslices=64",
+    )
+    ap.add_argument("--resume", action="store_true", help="resume reconstruction")
+    args = ap.parse_args(argv)
+
+    from .config import apply_overrides, load_config
+
+    cfg = load_config(args.config)
+    cfg = apply_overrides(cfg, args.overrides)
+    if args.mode:
+        cfg = dataclasses.replace(cfg, mode=args.mode)
+    if args.resume:
+        cfg = dataclasses.replace(
+            cfg, recon=dataclasses.replace(cfg.recon, resume=True)
+        )
+
+    from .sharding import init_distributed
+
+    if cfg.mesh.distributed:
+        init_distributed()
+
+    import jax
+
+    from . import io
+    from .pipeline import setup, stem_setup
+
+    t0 = time.time()
+    sim = setup(cfg)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    out = lambda name: os.path.join(cfg.output_dir, name)  # noqa: E731
+
+    if cfg.mode == "forward":
+        from .forward import exit_wave
+
+        psi = exit_wave(sim.psi0, sim.v_stack, sim.propagator, sim.sigma)
+        io.write_npy(out("exit_wave.npy"), psi)
+        io.write_npy(out("potential.npy"), sim.v_stack)
+    elif cfg.mode == "hrtem":
+        from .forward import hrtem_defocus_series
+
+        imgs = hrtem_defocus_series(
+            sim.v_stack, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack
+        )
+        io.write_npy(out("images.npy"), imgs)
+    elif cfg.mode == "stem":
+        from .forward import stem_raster
+
+        stencil, qy, qx, positions, masks = stem_setup(sim)
+        sig = stem_raster(
+            sim.v_stack,
+            stencil,
+            qy,
+            qx,
+            positions,
+            sim.propagator,
+            sim.sigma,
+            masks,
+            probe_chunk=cfg.stem.probe_chunk or None,
+        )
+        raster = np.asarray(sig).reshape(-1, cfg.stem.scan_ny, cfg.stem.scan_nx)
+        io.write_npy(out("stem.npy"), raster)
+    elif cfg.mode == "invert":
+        import jax.numpy as jnp
+
+        from .forward import hrtem_defocus_series
+        from .loss import make_loss
+        from .propagate import pick_remat_chunk
+        from .reconstruct import make_optimizer, reconstruct
+
+        if cfg.observed_path:
+            i_obs = jnp.asarray(
+                np.load(cfg.observed_path).astype(
+                    np.dtype(jax.numpy.dtype(sim.rdtype).name)
+                )
+            )
+        else:
+            # Self-test mode: invert synthetic data from the loaded specimen.
+            i_obs = hrtem_defocus_series(
+                sim.v_stack, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack
+            )
+        chunk = cfg.recon.remat_chunk or pick_remat_chunk(cfg.sim.nslices)
+
+        def fwd(v):
+            return hrtem_defocus_series(
+                v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
+                remat_chunk=chunk,
+            )
+
+        loss_fn = make_loss(
+            fwd, i_obs, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight
+        )
+        res = reconstruct(
+            loss_fn,
+            jnp.zeros_like(sim.v_stack),
+            iterations=cfg.recon.iterations,
+            optimizer=make_optimizer(cfg.recon.optimizer, cfg.recon.lr),
+            checkpoint_path=cfg.recon.checkpoint_path or out("checkpoint.npz"),
+            checkpoint_every=cfg.recon.checkpoint_every,
+            resume=cfg.recon.resume,
+            metrics_path=cfg.recon.metrics_path or out("metrics.jsonl"),
+        )
+        io.write_npy(out("reconstructed.npy"), res.v)
+        if jax.process_index() == 0:
+            print(
+                f"invert: {res.iterations} iters, final loss "
+                f"{res.losses[-1]:.6g}, {res.iterations / res.wall_s:.2f} it/s"
+            )
+    else:
+        print(f"unknown mode {cfg.mode!r}", file=sys.stderr)
+        return 2
+
+    if jax.process_index() == 0:
+        print(f"{cfg.mode}: done in {time.time() - t0:.2f}s -> {cfg.output_dir}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

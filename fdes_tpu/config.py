@@ -1,0 +1,220 @@
+"""Typed configuration system (SURVEY.md C2, §5 config row).
+
+The reference parses a positional text parameter file into one global struct
+passed everywhere (SURVEY.md C2 `paramStructure.cu` [U?]).  Here the
+parameters are frozen dataclasses grouped by subsystem, loadable from TOML
+or JSON with dotted-key CLI overrides; a permissive key:value compat reader
+covers reference-style plain-text inputs.
+
+All dataclasses are plain Python (host-side); they are NOT pytrees and never
+cross into jitted code — traced functions take arrays/scalars only, so a
+config change can never silently retrace with a different structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import tomllib
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Grid, beam and slicing parameters (SURVEY.md C2)."""
+
+    voltage_V: float = 300e3
+    ny: int = 256
+    nx: int = 256
+    fov_y_A: float = 0.0  # 0 = derive from specimen box
+    fov_x_A: float = 0.0
+    nslices: int = 16
+    dz_A: float = 0.0  # 0 = box_z / nslices
+    bandlimit: float = 2.0 / 3.0
+    tilt_x_rad: float = 0.0
+    tilt_y_rad: float = 0.0
+    dtype: str = "complex64"
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecimenParams:
+    atoms_path: str = ""  # .xyz path; empty = builtin Si[110] fixture
+    box_A: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    bfactor_A2: float = 0.45
+    reps: tuple[int, int, int] = (4, 3, 3)  # fixture tiling when atoms_path==""
+
+
+@dataclasses.dataclass(frozen=True)
+class OpticsParams:
+    defoci_A: tuple[float, ...] = (0.0,)
+    cs_A: float = 0.0
+    c5_A: float = 0.0
+    a1_A: float = 0.0
+    a1_angle_rad: float = 0.0
+    aperture_rad: float = 0.0
+    defocus_spread_A: float = 0.0
+    source_semiangle_rad: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class StemParams:
+    semiangle_rad: float = 20e-3
+    scan_ny: int = 16
+    scan_nx: int = 16
+    scan_y0_A: float = 0.0
+    scan_x0_A: float = 0.0
+    scan_ly_A: float = 0.0  # 0 = full field of view
+    scan_lx_A: float = 0.0
+    detectors: tuple[tuple[float, float], ...] = ((50e-3, 200e-3),)  # (inner, outer) rad
+    probe_chunk: int = 0  # 0 = no chunking
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconParams:
+    iterations: int = 200
+    optimizer: str = "adam"
+    lr: float = 1.0
+    l2_weight: float = 0.0
+    tv_weight: float = 0.0
+    remat_chunk: int = 0  # 0 = auto (sqrt-S policy)
+    checkpoint_path: str = ""
+    checkpoint_every: int = 50
+    resume: bool = False
+    metrics_path: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshParams:
+    axis_names: tuple[str, ...] = ("data",)
+    shape: tuple[int, ...] = ()  # () = all devices, flat
+    distributed: bool = False  # call jax.distributed.initialize()
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    mode: str = "forward"  # forward | hrtem | invert | stem
+    sim: SimParams = SimParams()
+    specimen: SpecimenParams = SpecimenParams()
+    optics: OpticsParams = OpticsParams()
+    stem: StemParams = StemParams()
+    recon: ReconParams = ReconParams()
+    mesh: MeshParams = MeshParams()
+    output_dir: str = "out"
+    observed_path: str = ""  # .npy of observed series for mode=invert
+    seed: int = 0
+
+
+# Explicit name->type map: `fields(Config)[i].type` is a *string* under
+# `from __future__ import annotations`, so it cannot drive the coercion.
+_SECTIONS: dict[str, type] = {
+    "sim": SimParams,
+    "specimen": SpecimenParams,
+    "optics": OpticsParams,
+    "stem": StemParams,
+    "recon": ReconParams,
+    "mesh": MeshParams,
+}
+_PLAIN_KEYS = {f.name for f in dataclasses.fields(Config)} - set(_SECTIONS)
+
+
+def _coerce(dc_type, data: dict):
+    """Build a (nested) frozen dataclass from a dict, tuple-ifying lists."""
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(dc_type)}
+    for k, v in data.items():
+        if k not in fields:
+            raise KeyError(f"unknown {dc_type.__name__} key: {k!r}")
+        if isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        kwargs[k] = v
+    return dc_type(**kwargs)
+
+
+def config_from_dict(data: dict) -> Config:
+    kwargs: dict = {}
+    for k, v in data.items():
+        if k in _SECTIONS and isinstance(v, dict):
+            kwargs[k] = _coerce(_SECTIONS[k], v)
+        elif k in _PLAIN_KEYS:
+            kwargs[k] = v
+        else:
+            raise KeyError(f"unknown config section/key: {k!r}")
+    return Config(**kwargs)
+
+
+def load_config(path: str) -> Config:
+    """Load TOML (default) or JSON config file into a Config."""
+    if path.endswith(".json"):
+        with open(path) as fh:
+            return config_from_dict(json.load(fh))
+    with open(path, "rb") as fh:
+        return config_from_dict(tomllib.load(fh))
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``section.key=value`` CLI overrides (values parsed as JSON,
+    falling back to string)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        key, _, raw = ov.partition("=")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        parts = key.split(".")
+        try:
+            if len(parts) == 1:
+                cfg = dataclasses.replace(cfg, **{parts[0]: val})
+            elif len(parts) == 2:
+                sec = getattr(cfg, parts[0], None)
+                if not dataclasses.is_dataclass(sec):
+                    raise ValueError(f"unknown config section: {parts[0]!r}")
+                if isinstance(val, list):
+                    val = tuple(tuple(x) if isinstance(x, list) else x for x in val)
+                cfg = dataclasses.replace(
+                    cfg, **{parts[0]: dataclasses.replace(sec, **{parts[1]: val})}
+                )
+            else:
+                raise ValueError(f"override key too deep: {key!r}")
+        except TypeError as e:  # unknown field name inside a section
+            raise ValueError(f"bad override {ov!r}: {e}") from None
+    return cfg
+
+
+def load_legacy_params(path: str) -> dict:
+    """Permissive reader for reference-style plain-text parameter files.
+
+    Accepts ``key: value`` / ``key = value`` / ``key value`` lines, ignores
+    blank lines and #/% comments, parses numbers and whitespace-separated
+    numeric lists.  Returns a raw dict — mapping legacy key names onto
+    Config fields is left to the caller because the upstream key vocabulary
+    could not be verified (SURVEY.md §0).
+    """
+    out: dict = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#")[0].split("%")[0].strip()
+            if not line:
+                continue
+            for sep in (":", "="):
+                if sep in line:
+                    k, _, rest = line.partition(sep)
+                    break
+            else:
+                parts = line.split(None, 1)
+                if len(parts) != 2:
+                    continue
+                k, rest = parts
+            k = k.strip()
+            toks = rest.split()
+            vals = []
+            for t in toks:
+                try:
+                    vals.append(float(t) if ("." in t or "e" in t.lower()) else int(t))
+                except ValueError:
+                    vals.append(t)
+            if len(vals) == 1:
+                out[k] = vals[0]
+            elif vals:
+                out[k] = vals
+    return out

@@ -1,0 +1,126 @@
+"""Measurement-series forward models (SURVEY.md L5, C11, §3.1/§3.4).
+
+The reference loops over the measurement series on the host, one CUDA
+launch-chain per image (SURVEY.md §3.1: `for m in measurements`).  Here a
+whole series is ONE traced program: `vmap` over the per-measurement inputs
+(CTFs for a defocus series, propagators/incident waves for a tilt series,
+positions for a STEM raster), so XLA batches the FFT pipeline and the series
+axis is directly shardable across a device mesh (sharding.py).
+
+All functions are pure and jit/vmap/grad-safe; constants (propagator, CTF
+stacks, probe stencil) are built on the host in f64 (grids/optics/probe) and
+passed in as arrays, already cast to the device dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .detector import detector_signal
+from .imaging import hrtem_image
+from .probe import probe_from_stencil
+from .propagate import multislice
+
+
+def exit_wave(
+    psi0: jax.Array,
+    v_stack: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    *,
+    remat_chunk: int | None = None,
+    slice_step: Callable[..., jax.Array] | None = None,
+) -> jax.Array:
+    """Alias for the multislice rollout (kept for orchestration symmetry)."""
+    return multislice(
+        psi0,
+        v_stack,
+        propagator,
+        sigma,
+        remat_chunk=remat_chunk,
+        slice_step=slice_step,
+    )
+
+
+def hrtem_defocus_series(
+    v_stack: jax.Array,
+    psi0: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    ctf_stack: jax.Array,
+    *,
+    remat_chunk: int | None = None,
+) -> jax.Array:
+    """(D, ny, nx) intensity series: one rollout, D imaging passes.
+
+    The rollout is shared across defoci (the specimen does not change with
+    defocus), so this is multislice once + vmap over the CTF stack — the
+    reference recomputes the rollout per image (SURVEY.md §3.1); sharing it
+    is both exact and D× cheaper.
+    """
+    psi = multislice(psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk)
+    return jax.vmap(lambda c: hrtem_image(psi, c))(ctf_stack)
+
+
+def hrtem_tilt_series(
+    v_stack: jax.Array,
+    psi0_stack: jax.Array,
+    propagator_stack: jax.Array,
+    sigma: float,
+    ctf: jax.Array,
+    *,
+    remat_chunk: int | None = None,
+) -> jax.Array:
+    """(T, ny, nx) tilt series: vmap of full rollouts over (psi0, P) pairs.
+
+    Tilt changes the propagator (SURVEY.md Appendix A tilt term) and the
+    incident wave, so each tilt is an independent rollout — this is the
+    shardable "rollout batch" axis for inverse tilt tomography.
+    """
+
+    def one(psi0, prop):
+        psi = multislice(psi0, v_stack, prop, sigma, remat_chunk=remat_chunk)
+        return hrtem_image(psi, ctf)
+
+    return jax.vmap(one)(psi0_stack, propagator_stack)
+
+
+def stem_raster(
+    v_stack: jax.Array,
+    stencil: jax.Array,
+    qy: jax.Array,
+    qx: jax.Array,
+    positions_yx: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    detector_masks: jax.Array,
+    *,
+    probe_chunk: int | None = None,
+    remat_chunk: int | None = None,
+) -> jax.Array:
+    """STEM signals (ndet, npos): independent rollouts per probe position.
+
+    positions_yx: (npos, 2) probe centers in Å.  detector_masks: (ndet, ny,
+    nx) fft-layout annular masks.  ``probe_chunk`` bounds memory by running
+    the vmap in lax.map groups (SURVEY.md §7: "16k×rollout per step must be
+    chunked"); npos must be a multiple of probe_chunk (pad positions and
+    drop, or choose a divisor).
+    """
+    cdt = stencil.dtype
+
+    def one(pos):
+        psi0 = probe_from_stencil(stencil, qy, qx, pos, dtype=cdt)
+        psi = multislice(psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk)
+        return detector_signal(psi, detector_masks)  # (ndet,)
+
+    npos = positions_yx.shape[0]
+    if probe_chunk is None or probe_chunk >= npos:
+        return jax.vmap(one)(positions_yx).T  # (ndet, npos)
+    if npos % probe_chunk != 0:
+        raise ValueError(f"probe_chunk {probe_chunk} must divide npos {npos}")
+    chunks = positions_yx.reshape(npos // probe_chunk, probe_chunk, 2)
+    out = jax.lax.map(jax.vmap(one), chunks)  # (nchunk, chunk, ndet)
+    return out.reshape(npos, -1).T

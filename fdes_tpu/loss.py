@@ -1,0 +1,69 @@
+"""Image-mismatch cost for inverse scattering (SURVEY.md C12, L6).
+
+The reference's cost is the least-squares image mismatch
+L = sum_m ||I_sim,m - I_obs,m||^2 computed with CUDA reduction kernels
+(SURVEY.md C12).  Here it is one jnp expression inside the differentiated
+function; `jax.value_and_grad` replaces the hand-rolled adjoint chain
+(SURVEY.md C13, §3.2) exactly — the adjoint-consistency unit tests pin the
+equivalence on toy problems.
+
+An optional Tikhonov/TV regulariser on the potential stack covers the
+reference's (uncertain, [U?]) C14 regularization row.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_mismatch(i_sim: jax.Array, i_obs: jax.Array) -> jax.Array:
+    """0.5 * sum((I_sim - I_obs)^2), summed over ALL axes -> scalar.
+
+    The 0.5 makes dL/dI = (I_sim - I_obs), matching the reference's error
+    wave seed 2*(I-I_obs) up to its missing 1/2 (SURVEY.md §3.2) — the
+    constant only rescales the step size.
+    """
+    r = i_sim - i_obs
+    return 0.5 * jnp.sum(r * r)
+
+
+def tikhonov(v_stack: jax.Array, weight: float) -> jax.Array:
+    """weight * 0.5 * ||V||^2 — ridge regulariser on the potential."""
+    return weight * 0.5 * jnp.sum(v_stack * v_stack)
+
+
+def total_variation(v_stack: jax.Array, weight: float, eps: float = 1e-6) -> jax.Array:
+    """Isotropic 3-D total variation (smoothed), periodic differences.
+
+    Promotes piecewise-constant reconstructions; eps keeps the sqrt smooth
+    at zero so jax.grad is well-defined everywhere.
+    """
+    dz = v_stack - jnp.roll(v_stack, 1, axis=0)
+    dy = v_stack - jnp.roll(v_stack, 1, axis=1)
+    dx = v_stack - jnp.roll(v_stack, 1, axis=2)
+    return weight * jnp.sum(jnp.sqrt(dz * dz + dy * dy + dx * dx + eps * eps))
+
+
+def make_loss(
+    forward,
+    i_obs: jax.Array,
+    l2_weight: float = 0.0,
+    tv_weight: float = 0.0,
+):
+    """loss(V, *fwd_args) = l2_mismatch(forward(V, *fwd_args), I_obs) + reg.
+
+    ``forward`` is any of the forward.py series functions partially applied
+    down to (v_stack, *args) -> images.  Returns a scalar-valued function
+    ready for jax.value_and_grad.
+    """
+
+    def loss_fn(v_stack, *fwd_args):
+        data = l2_mismatch(forward(v_stack, *fwd_args), i_obs)
+        if l2_weight:
+            data = data + tikhonov(v_stack, l2_weight)
+        if tv_weight:
+            data = data + total_variation(v_stack, tv_weight)
+        return data
+
+    return loss_fn

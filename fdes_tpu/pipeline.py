@@ -1,0 +1,148 @@
+"""Config -> device-ready simulation state (SURVEY.md §3.5 init path).
+
+The reference's `main` wires parsing, allocation and plan creation by hand
+(SURVEY.md §3.5).  Here `setup()` turns a Config into a `Sim` bundle of
+host-built constants (grid, propagator, CTF stack, probe stencil) and
+device arrays (potential stack), shared by the CLI, the benchmark harness
+and the driver entry points — one construction path, no duplicated wiring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants
+from .config import Config
+from .grids import Grid, fresnel_propagator, host_cast
+from .optics import Aberrations, ctf_series
+from .potential import build_potential
+from .probe import plane_wave, probe_stencil
+from .detector import annular_mask
+from .specimen import Specimen, SlicedAtoms, load_xyz, make_si110_supercell, slice_specimen
+
+
+@dataclasses.dataclass
+class Sim:
+    """Device-ready state for one simulation/reconstruction run."""
+
+    cfg: Config
+    grid: Grid
+    specimen: Specimen
+    sliced: SlicedAtoms
+    wavelength_A: float
+    sigma: float
+    cdtype: object  # jnp complex dtype
+    rdtype: object  # jnp real dtype
+    v_stack: object  # (S, ny, nx) device array, V*Å
+    propagator: object  # (ny, nx) device complex
+    psi0: object  # (ny, nx) device complex incident wave
+    ctf_stack: object  # (D, ny, nx) device complex
+    aberrations: Aberrations
+
+
+def _dtypes(name: str):
+    if name in ("complex64", "c64"):
+        return jnp.complex64, jnp.float32
+    if name in ("complex128", "c128"):
+        return jnp.complex128, jnp.float64
+    raise ValueError(f"unsupported dtype {name!r}")
+
+
+def load_specimen(cfg: Config) -> Specimen:
+    sp = cfg.specimen
+    if sp.atoms_path:
+        return load_xyz(sp.atoms_path, sp.box_A, bfactor=sp.bfactor_A2)
+    return make_si110_supercell(reps=sp.reps, bfactor=sp.bfactor_A2)
+
+
+def setup(cfg: Config) -> Sim:
+    cdt, rdt = _dtypes(cfg.sim.dtype)
+    spec = load_specimen(cfg)
+    fy = cfg.sim.fov_y_A or float(spec.box[1])
+    fx = cfg.sim.fov_x_A or float(spec.box[0])
+    grid = Grid(ny=cfg.sim.ny, nx=cfg.sim.nx, py=fy / cfg.sim.ny, px=fx / cfg.sim.nx)
+    dz = cfg.sim.dz_A or None
+    sliced = slice_specimen(spec, cfg.sim.nslices, dz=dz)
+
+    lam = constants.wavelength_A(cfg.sim.voltage_V)
+    sigma = constants.interaction_sigma(cfg.sim.voltage_V)
+
+    v_stack = build_potential(sliced, grid, dtype=rdt)
+    prop = jnp.asarray(
+        host_cast(
+            fresnel_propagator(
+                grid,
+                lam,
+                sliced.dz,
+                tilt_xy_rad=(cfg.sim.tilt_x_rad, cfg.sim.tilt_y_rad),
+                bandlimit=cfg.sim.bandlimit or None,
+            ),
+            cdt,
+        )
+    )
+    psi0 = plane_wave(grid, lam, dtype=cdt)
+
+    ab = Aberrations(
+        defocus=cfg.optics.defoci_A[0],
+        cs=cfg.optics.cs_A,
+        c5=cfg.optics.c5_A,
+        a1=cfg.optics.a1_A,
+        a1_angle=cfg.optics.a1_angle_rad,
+    )
+    ctfs = jnp.asarray(
+        host_cast(
+            ctf_series(
+                grid,
+                lam,
+                np.asarray(cfg.optics.defoci_A, dtype=np.float64),
+                base=ab,
+                aperture_semiangle_rad=cfg.optics.aperture_rad,
+                defocus_spread_A=cfg.optics.defocus_spread_A,
+                source_semiangle_rad=cfg.optics.source_semiangle_rad,
+            ),
+            cdt,
+        )
+    )
+    return Sim(
+        cfg=cfg,
+        grid=grid,
+        specimen=spec,
+        sliced=sliced,
+        wavelength_A=lam,
+        sigma=sigma,
+        cdtype=cdt,
+        rdtype=rdt,
+        v_stack=v_stack,
+        propagator=prop,
+        psi0=psi0,
+        ctf_stack=ctfs,
+        aberrations=ab,
+    )
+
+
+def stem_setup(sim: Sim):
+    """Probe stencil, scan positions and detector masks for STEM mode."""
+    st = sim.cfg.stem
+    stencil = jnp.asarray(
+        host_cast(
+            probe_stencil(sim.grid, sim.wavelength_A, st.semiangle_rad, sim.aberrations),
+            sim.cdtype,
+        )
+    )
+    qy = jnp.asarray(host_cast(sim.grid.qy()[:, None], sim.rdtype))
+    qx = jnp.asarray(host_cast(sim.grid.qx()[None, :], sim.rdtype))
+    ly = st.scan_ly_A or sim.grid.extent[0]
+    lx = st.scan_lx_A or sim.grid.extent[1]
+    ys = st.scan_y0_A + (np.arange(st.scan_ny) + 0.5) * ly / st.scan_ny
+    xs = st.scan_x0_A + (np.arange(st.scan_nx) + 0.5) * lx / st.scan_nx
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    positions = jnp.asarray(
+        host_cast(np.stack([gy.ravel(), gx.ravel()], axis=-1), sim.rdtype)
+    )
+    masks = np.stack(
+        [annular_mask(sim.grid, sim.wavelength_A, i, o) for i, o in st.detectors]
+    )
+    return stencil, qy, qx, positions, jnp.asarray(host_cast(masks, sim.rdtype))

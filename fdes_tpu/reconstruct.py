@@ -1,0 +1,200 @@
+"""Inverse reconstruction engine (SURVEY.md C13/C14, L6, §3.2).
+
+The reference's inverse loop is: forward all measurements storing per-slice
+waves, seed an error wave, hand-back-propagate it through every slice,
+host-sum per-GPU partial gradients, steepest-descent step (SURVEY.md §3.2).
+Here the ENTIRE iteration body is one jitted, donated XLA program:
+
+    loss, grad = value_and_grad(loss_fn)(V)   # adjoint = autodiff of the scan
+    V, opt_state = optax.update(...)
+
+with remat bounding adjoint memory (propagate.py) and the measurement axis
+sharded over the device mesh (sharding.py) so the only collective per step
+is the gradient psum GSPMD inserts — the TPU replacement for the
+reference's D2H + host add (SURVEY.md C19/C20).
+
+Checkpoint/resume (SURVEY.md §5): every ``checkpoint_every`` iterations the
+full optimization state (V, opt state, iteration, RNG-free) is written as an
+.npz from host 0; ``resume`` restarts losing at most that many iterations —
+the reference's raw-binary V dump generalised to the whole pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass
+class ReconResult:
+    """Terminal state of a reconstruction run."""
+
+    v: np.ndarray
+    losses: np.ndarray
+    iterations: int
+    wall_s: float
+
+
+def make_optimizer(
+    name: str = "adam", lr: float = 1.0, **kwargs
+) -> optax.GradientTransformation:
+    """Named optax optimizers for the CLI/config layer (SURVEY.md C14)."""
+    opts: dict[str, Callable[..., optax.GradientTransformation]] = {
+        "sgd": optax.sgd,
+        "momentum": lambda learning_rate: optax.sgd(learning_rate, momentum=0.9),
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        # lbfgs runs its zoom linesearch; a fixed learning rate would defeat
+        # it, so lr is ignored (reconstruct() feeds value_fn to the update).
+        "lbfgs": lambda learning_rate: optax.lbfgs(),
+    }
+    if name not in opts:
+        raise ValueError(f"unknown optimizer {name!r}; options: {sorted(opts)}")
+    return opts[name](lr, **kwargs)
+
+
+def save_checkpoint(path: str, v, opt_state, iteration: int) -> None:
+    """Write the full optimization pytree as a flat .npz (host 0 only)."""
+    if jax.process_index() != 0:
+        return
+    leaves, treedef = jax.tree.flatten((v, opt_state))
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, iteration=iteration, nleaves=len(leaves), **arrays)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, v_like, opt_state_like):
+    """Restore (v, opt_state, iteration) from save_checkpoint output.
+
+    v_like/opt_state_like provide the treedef (and shardings via device_put
+    by the caller); raises FileNotFoundError if absent.
+    """
+    with np.load(path) as z:
+        n = int(z["nleaves"])
+        leaves = [z[f"leaf_{i}"] for i in range(n)]
+        iteration = int(z["iteration"])
+    _, treedef = jax.tree.flatten((v_like, opt_state_like))
+    v, opt_state = jax.tree.unflatten(treedef, leaves)
+    return v, opt_state, iteration
+
+
+class MetricsWriter:
+    """Append-only JSONL metrics, host-0 only (SURVEY.md §5 metrics row).
+
+    Values must already be host scalars — the writer never forces a device
+    sync of its own.
+    """
+
+    def __init__(self, path: str | None):
+        self.path = path if (path and jax.process_index() == 0) else None
+        if self.path:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            self._fh = open(self.path, "a", buffering=1)
+
+    def write(self, **kv: Any) -> None:
+        if self.path:
+            self._fh.write(json.dumps(kv) + "\n")
+
+    def close(self) -> None:
+        if self.path:
+            self._fh.close()
+
+
+def reconstruct(
+    loss_fn: Callable[[jax.Array], jax.Array],
+    v0: jax.Array,
+    *,
+    iterations: int = 100,
+    optimizer: optax.GradientTransformation | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 50,
+    resume: bool = False,
+    metrics_path: str | None = None,
+    callback: Callable[[int, float, jax.Array], None] | None = None,
+    v_sharding: jax.sharding.Sharding | None = None,
+) -> ReconResult:
+    """Gradient-descent reconstruction of the potential stack.
+
+    loss_fn: scalar loss of the (S, ny, nx) potential (close over the
+    observed data and forward model with loss.make_loss).  The step is one
+    jitted program with V and opt_state donated, so steady-state iteration
+    allocates nothing.
+    """
+    optimizer = optimizer or make_optimizer("adam", 1.0)
+
+    @jax.jit
+    def init_state(v):
+        return optimizer.init(v)
+
+    if v_sharding is not None:
+        v0 = jax.device_put(v0, v_sharding)
+    opt_state = init_state(v0)
+
+    start = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        v_host, opt_host, start = load_checkpoint(checkpoint_path, v0, opt_state)
+        v0 = jax.device_put(np.asarray(v_host, dtype=v0.dtype), v_sharding)
+        opt_state = jax.tree.map(
+            lambda like, val: jax.device_put(
+                np.asarray(val, np.asarray(like).dtype),
+                like.sharding if hasattr(like, "sharding") else None,
+            ),
+            opt_state,
+            opt_host,
+        )
+
+    # with_extra_args_support lets one update call serve both families:
+    # linesearch optimizers (lbfgs — the reference-beating choice for this
+    # deterministic least-squares problem) consume value/grad/value_fn,
+    # plain first-order ones ignore them.
+    opt = optax.with_extra_args_support(optimizer)
+
+    @jax.jit
+    def step(v, opt_state):
+        loss, g = jax.value_and_grad(loss_fn)(v)
+        updates, opt_state = opt.update(
+            g, opt_state, v, value=loss, grad=g, value_fn=loss_fn
+        )
+        return optax.apply_updates(v, updates), opt_state, loss, jnp.linalg.norm(g)
+
+    metrics = MetricsWriter(metrics_path)
+    losses: list[float] = []
+    v = v0
+    t0 = time.time()
+    try:
+        for it in range(start, iterations):
+            ts = time.time()
+            v, opt_state, loss, gnorm = step(v, opt_state)
+            # Host fetch of two scalars per iteration (same values the
+            # reference printed); arrays stay on device.
+            loss_f = float(loss)
+            losses.append(loss_f)
+            metrics.write(
+                iter=it,
+                loss=loss_f,
+                grad_norm=float(gnorm),
+                step_s=time.time() - ts,
+            )
+            if callback is not None:
+                callback(it, loss_f, v)
+            if checkpoint_path and (it + 1) % checkpoint_every == 0:
+                save_checkpoint(checkpoint_path, v, opt_state, it + 1)
+    finally:
+        metrics.close()
+    if checkpoint_path:
+        save_checkpoint(checkpoint_path, v, opt_state, iterations)
+    return ReconResult(
+        v=np.asarray(v),
+        losses=np.asarray(losses),
+        iterations=iterations,
+        wall_s=time.time() - t0,
+    )

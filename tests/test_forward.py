@@ -1,0 +1,145 @@
+"""Forward orchestration tests (SURVEY §4): defocus/tilt series vs golden,
+STEM raster chunking equivalence, probe placement."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdes_tpu.constants import interaction_sigma, wavelength_A
+from fdes_tpu.detector import annular_mask, detector_signal
+from fdes_tpu.forward import (
+    hrtem_defocus_series,
+    hrtem_tilt_series,
+    stem_raster,
+)
+from fdes_tpu.golden import golden_hrtem, golden_multislice, golden_stem_signal
+from fdes_tpu.grids import Grid, fresnel_propagator
+from fdes_tpu.optics import Aberrations, ctf_series
+from fdes_tpu.potential import build_potential
+from fdes_tpu.probe import plane_wave, probe_from_stencil, probe_stencil
+
+KV = 300e3
+
+
+@pytest.fixture(scope="module")
+def small_sim(si110_small_module):
+    return si110_small_module
+
+
+@pytest.fixture(scope="module")
+def si110_small_module():
+    from fdes_tpu.specimen import make_si110_supercell, slice_specimen
+
+    spec = make_si110_supercell(reps=(2, 2, 2))
+    lx, ly, _ = spec.box
+    grid = Grid(ny=64, nx=64, py=ly / 64, px=lx / 64)
+    sliced = slice_specimen(spec, nslices=8)
+    v = build_potential(sliced, grid, dtype=jnp.float64)
+    lam = wavelength_A(KV)
+    sigma = interaction_sigma(KV)
+    prop = jnp.asarray(fresnel_propagator(grid, lam, sliced.dz))
+    return grid, sliced, v, lam, sigma, prop
+
+
+def test_defocus_series_matches_golden(small_sim):
+    grid, sliced, v, lam, sigma, prop = small_sim
+    psi0 = plane_wave(grid, lam, dtype=jnp.complex128)
+    defoci = np.array([-150.0, 0.0, 150.0])
+    ctfs = ctf_series(grid, lam, defoci, Aberrations(cs=1.2e7), 25e-3)
+    imgs = hrtem_defocus_series(v, psi0, prop, sigma, jnp.asarray(ctfs))
+    psig = golden_multislice(
+        np.ones(grid.shape, np.complex128), np.asarray(v), grid, KV, sliced.dz
+    )
+    for d in range(3):
+        expect = golden_hrtem(psig, ctfs[d])
+        np.testing.assert_allclose(np.asarray(imgs[d]), expect, atol=1e-10)
+
+
+def test_tilt_series_matches_golden(small_sim):
+    grid, sliced, v, lam, sigma, prop = small_sim
+    tilts = [(0.0, 0.0), (2e-3, -1e-3)]
+    psi0s = jnp.stack(
+        [plane_wave(grid, lam, t, dtype=jnp.complex128) for t in tilts]
+    )
+    props = jnp.stack(
+        [
+            jnp.asarray(fresnel_propagator(grid, lam, sliced.dz, tilt_xy_rad=t))
+            for t in tilts
+        ]
+    )
+    ctf1 = jnp.asarray(ctf_series(grid, lam, np.array([0.0]))[0])
+    imgs = hrtem_tilt_series(v, psi0s, props, sigma, ctf1)
+    for i, t in enumerate(tilts):
+        psig = golden_multislice(
+            np.asarray(psi0s[i]), np.asarray(v), grid, KV, sliced.dz, tilt_xy_rad=t
+        )
+        expect = golden_hrtem(psig, np.asarray(ctf1))
+        np.testing.assert_allclose(np.asarray(imgs[i]), expect, atol=1e-10)
+
+
+def test_stem_raster_chunked_equals_unchunked(small_sim):
+    grid, sliced, v, lam, sigma, prop = small_sim
+    stencil = jnp.asarray(probe_stencil(grid, lam, 25e-3))
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+    pos = jnp.asarray(
+        np.stack(
+            np.meshgrid(
+                np.linspace(2.0, 8.0, 2), np.linspace(2.0, 8.0, 4), indexing="ij"
+            ),
+            axis=-1,
+        ).reshape(-1, 2)
+    )
+    masks = jnp.asarray(
+        np.stack(
+            [
+                annular_mask(grid, lam, 0.0, 25e-3),
+                annular_mask(grid, lam, 50e-3, 200e-3),
+            ]
+        )
+    )
+    full = stem_raster(v, stencil, qy, qx, pos, prop, sigma, masks)
+    chunked = stem_raster(
+        v, stencil, qy, qx, pos, prop, sigma, masks, probe_chunk=4
+    )
+    assert full.shape == (2, 8)
+    # atol floors out denormal (~1e-32) ADF signals where lax.map vs vmap
+    # reassociation changes bit-level rounding
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), rtol=1e-12, atol=1e-25
+    )
+    with pytest.raises(ValueError):
+        stem_raster(v, stencil, qy, qx, pos, prop, sigma, masks, probe_chunk=3)
+
+
+def test_stem_signal_matches_golden(small_sim):
+    grid, sliced, v, lam, sigma, prop = small_sim
+    stencil = jnp.asarray(probe_stencil(grid, lam, 25e-3))
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+    pos = jnp.asarray([[5.0, 5.0]])
+    # bright-field disc: carries O(1) signal (an ADF ring at 50+ mrad sees
+    # only denormal-level power on this weak 8-slice fixture)
+    mask = annular_mask(grid, lam, 0.0, 30e-3)
+    sig = stem_raster(v, stencil, qy, qx, pos, prop, sigma, mask[None])
+    psi0 = probe_from_stencil(stencil, qy, qx, pos[0], dtype=jnp.complex128)
+    psig = golden_multislice(
+        np.asarray(psi0), np.asarray(v), grid, KV, sliced.dz
+    )
+    expect = golden_stem_signal(psig, mask)
+    np.testing.assert_allclose(float(sig[0, 0]), expect, rtol=1e-10)
+
+
+def test_probe_is_centered_and_normalized(small_sim):
+    grid, sliced, v, lam, sigma, prop = small_sim
+    stencil = jnp.asarray(probe_stencil(grid, lam, 30e-3))
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+    pos = jnp.asarray([6.4, 3.2])
+    psi = probe_from_stencil(stencil, qy, qx, pos, dtype=jnp.complex128)
+    # unit power
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(psi) ** 2)), 1.0, rtol=1e-12)
+    # intensity peak at the requested position
+    iy, ix = np.unravel_index(int(jnp.argmax(jnp.abs(psi))), grid.shape)
+    assert abs(iy * grid.py - 6.4) <= grid.py
+    assert abs(ix * grid.px - 3.2) <= grid.px

@@ -1,0 +1,156 @@
+"""I/O, config and CLI tests (SURVEY §4 unit tier for C1/C2/C18)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fdes_tpu import io
+from fdes_tpu.config import (
+    Config,
+    apply_overrides,
+    config_from_dict,
+    load_config,
+    load_legacy_params,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_raw_roundtrip_real(tmp_path, rng):
+    a = rng.normal(size=(4, 8, 8)).astype(np.float32)
+    p = str(tmp_path / "a.bin")
+    io.write_raw(p, a)
+    b = io.read_raw(p, a.shape, np.float32)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_raw_roundtrip_complex_interleaved(tmp_path, rng):
+    a = (rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))).astype(np.complex64)
+    p = str(tmp_path / "c.bin")
+    io.write_raw(p, a)
+    b = io.read_raw(p, a.shape, np.float32, complex_interleaved=True)
+    np.testing.assert_array_equal(a, b)
+    # byte layout is float2-style interleaved pairs
+    flat = np.fromfile(p, np.float32)
+    np.testing.assert_array_equal(flat[:2], [a.real.ravel()[0], a.imag.ravel()[0]])
+
+
+def test_raw_shape_mismatch(tmp_path, rng):
+    p = str(tmp_path / "a.bin")
+    io.write_raw(p, np.zeros(10, np.float32))
+    with pytest.raises(ValueError):
+        io.read_raw(p, (11,), np.float32)
+
+
+def test_config_toml_and_overrides(tmp_path):
+    p = tmp_path / "c.toml"
+    p.write_text(
+        """
+mode = "hrtem"
+output_dir = "o"
+[sim]
+ny = 64
+nx = 64
+nslices = 8
+[optics]
+defoci_A = [-100.0, 0.0, 100.0]
+cs_A = 1.2e7
+"""
+    )
+    cfg = load_config(str(p))
+    assert cfg.mode == "hrtem" and cfg.sim.ny == 64
+    assert cfg.optics.defoci_A == (-100.0, 0.0, 100.0)
+    cfg2 = apply_overrides(cfg, ["sim.nslices=16", "mode=forward"])
+    assert cfg2.sim.nslices == 16 and cfg2.mode == "forward"
+    with pytest.raises(KeyError):
+        config_from_dict({"nope": 1})
+    with pytest.raises(KeyError):
+        config_from_dict({"sim": {"bogus_key": 1}})
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["sim.ny.deep=1"])
+
+
+def test_legacy_param_reader(tmp_path):
+    p = tmp_path / "legacy.txt"
+    p.write_text(
+        """
+# FDES-style input
+voltage: 300e3   # volts
+grid = 256 256
+slices 16
+atoms_file: specimen.xyz
+"""
+    )
+    d = load_legacy_params(str(p))
+    assert d["voltage"] == 300e3.__float__()
+    assert d["grid"] == [256, 256]
+    assert d["slices"] == 16
+    assert d["atoms_file"] == "specimen.xyz"
+
+
+CLI_ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    PYTHONPATH=REPO,
+)
+
+
+def _write_small_cfg(tmp_path, mode, extra=""):
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(
+        f"""
+mode = "{mode}"
+output_dir = "{tmp_path}/out"
+[sim]
+ny = 32
+nx = 32
+nslices = 4
+[specimen]
+reps = [1, 1, 1]
+[optics]
+defoci_A = [-100.0, 100.0]
+[stem]
+scan_ny = 2
+scan_nx = 2
+semiangle_rad = 0.025
+[recon]
+iterations = 5
+lr = 2.0
+{extra}
+"""
+    )
+    return cfg
+
+
+@pytest.mark.parametrize("mode,outfile", [("forward", "exit_wave.npy"),
+                                          ("hrtem", "images.npy"),
+                                          ("stem", "stem.npy")])
+def test_cli_modes_end_to_end(tmp_path, mode, outfile):
+    cfg = _write_small_cfg(tmp_path, mode)
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = np.load(tmp_path / "out" / outfile)
+    assert np.all(np.isfinite(np.abs(out)))
+
+
+def test_cli_invert_self_test(tmp_path):
+    cfg = _write_small_cfg(tmp_path, "invert")
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    v = np.load(tmp_path / "out" / "reconstructed.npy")
+    assert v.shape == (4, 32, 32)
+    metrics = [json.loads(l) for l in open(tmp_path / "out" / "metrics.jsonl")]
+    assert len(metrics) == 5
+    assert metrics[-1]["loss"] < metrics[0]["loss"]
+    assert (tmp_path / "out" / "checkpoint.npz").exists()
