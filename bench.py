@@ -77,12 +77,14 @@ def main() -> int:
     )
 
     from fdes_tpu.probe import probe_from_stencil
-    from fdes_tpu.propagate import multislice
+    from fdes_tpu.propagate import make_slice_step, multislice
+
+    slice_step = make_slice_step(os.environ.get("FDES_BENCH_STEP", "xla"))
 
     def rollout_batch(v_stack, positions):
         def one(p):
             psi0 = probe_from_stencil(stencil, qy, qx, p, dtype=jnp.complex64)
-            psi = multislice(psi0, v_stack, prop, sigma)
+            psi = multislice(psi0, v_stack, prop, sigma, slice_step=slice_step)
             # cheap reduction so nothing is dead-code-eliminated
             return jnp.sum(jnp.abs(psi) ** 2)
 

@@ -1,0 +1,210 @@
+"""Fused Pallas TPU stages for the multislice slice step (SURVEY.md C6-C8).
+
+The reference runs ~4 separate CUDA kernels per slice around its two cuFFT
+calls: build t = exp(i*sigma*V), complex-multiply t*psi, complex-multiply
+P*psi_hat, plus launch overhead (SURVEY.md §3.1).  Here each elementwise
+stage is ONE Pallas VMEM pass on float32 planes:
+
+* ``pallas_transmit``: psi <- exp(1j*sigma*V) * psi computed as cos/sin of
+  the real phase and a 4-multiply complex rotation — the transmission
+  function is never materialised in HBM (the reference materialises t per
+  slice; XLA usually fuses this too, which is why propagate.py benchmarks
+  the Pallas path against plain XLA fusion and ships the winner, M6).
+* ``propagator_multiply``: psi_hat <- P * psi_hat, the band-limited Fresnel
+  multiply in Fourier space.
+
+Both carry custom VJPs (the guide's Custom VJP pattern) so ``jax.grad``
+flows through the Pallas path exactly as through the jnp path:
+
+    transmit:  d_psi = g * t,   d_V = -sigma * Im(g * t * psi)
+    cmul by P: d_psi_hat = g * P
+
+(JAX's vjp pairing for complex primals is BILINEAR — the transpose of the
+jvp with no conjugation, with real inputs taking the real projection; the
+familiar conj(t)*g adjoint belongs to the sesquichannel convention and is
+WRONG here — pinned empirically and by tests against jnp autodiff).
+
+Complex arrays are carried as (real, imag) float32 planes inside kernels —
+Pallas TPU vector memory works on real lanes; the complex64 view exists
+only at the jnp boundary.  Blocks are (ROWS, nx) row stripes: the lane
+(last) dimension keeps the full row (nx is a multiple of 128 for every
+supported grid), the sublane dimension is chunked to bound VMEM for 2048^2
+fields (4 planes x 2048 x 2048 x 4 B = 64 MiB >> 16 MiB VMEM).
+
+FFTs stay in XLA: on TPU the FFT is an optimized library op; Pallas wins
+only the elementwise stages around it (SURVEY.md §7 M6 ships
+whichever of Pallas/XLA measures faster per grid size).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Row-stripe height per grid step.  8 is the f32 sublane quantum; 256 rows
+# of 2048 f32 lanes = 2 MiB per plane — comfortable with ~6 planes live.
+_ROWS = 256
+
+
+def _row_grid(shape):
+    ny, nx = shape
+    rows = min(_ROWS, ny)
+    while ny % rows:
+        rows //= 2
+    rows = max(rows, 1)
+    spec = pl.BlockSpec((rows, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return (ny // rows,), spec
+
+
+def _transmit_fwd_kernel(v_ref, pr_ref, pi_ref, or_ref, oi_ref, *, sigma):
+    phase = sigma * v_ref[:]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    or_ref[:] = pr * c - pi * s
+    oi_ref[:] = pr * s + pi * c
+
+
+def _transmit_bwd_kernel(
+    v_ref, pr_ref, pi_ref, gr_ref, gi_ref, dr_ref, di_ref, dv_ref, *, sigma
+):
+    phase = sigma * v_ref[:]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    gr = gr_ref[:]
+    gi = gi_ref[:]
+    # d_psi = g * t  with t = c + i s (bilinear vjp pairing, see module doc)
+    dr_ref[:] = gr * c - gi * s
+    di_ref[:] = gr * s + gi * c
+    # t*psi (recomputed - cheaper than stashing it through the FFT pipeline)
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    tpr = pr * c - pi * s
+    tpi = pr * s + pi * c
+    # d_V = -sigma * Im(g * t*psi) = -sigma * (gr*tpi + gi*tpr)
+    dv_ref[:] = -sigma * (gr * tpi + gi * tpr)
+
+
+def _cmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref, *, conj_b):
+    ar = ar_ref[:]
+    ai = ai_ref[:]
+    br = br_ref[:]
+    bi = bi_ref[:] if not conj_b else -bi_ref[:]
+    cr_ref[:] = ar * br - ai * bi
+    ci_ref[:] = ar * bi + ai * br
+
+
+def _planes(z):
+    return jnp.real(z), jnp.imag(z)
+
+
+def _complex(r, i):
+    return jax.lax.complex(r, i)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_transmit(psi, v_slice, sigma: float, interpret: bool = False):
+    """psi * exp(1j*sigma*v_slice) as one fused Pallas pass (c64 in/out)."""
+    out_r, out_i = _transmit_fwd(psi, v_slice, sigma, interpret)
+    return _complex(out_r, out_i)
+
+
+def _transmit_fwd(psi, v_slice, sigma, interpret):
+    pr, pi = _planes(psi)
+    rdt = pr.dtype
+    grid, spec = _row_grid(v_slice.shape)
+    return pl.pallas_call(
+        functools.partial(_transmit_fwd_kernel, sigma=rdt.type(sigma)),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(v_slice.shape, rdt),
+            jax.ShapeDtypeStruct(v_slice.shape, rdt),
+        ],
+        interpret=interpret,
+    )(v_slice.astype(rdt), pr, pi)
+
+
+def _pallas_transmit_fwd(psi, v_slice, sigma, interpret):
+    out = pallas_transmit(psi, v_slice, sigma, interpret)
+    return out, (psi, v_slice)
+
+
+def _pallas_transmit_bwd(sigma, interpret, res, g):
+    psi, v_slice = res
+    pr, pi = _planes(psi)
+    gr, gi = _planes(g)
+    rdt = pr.dtype
+    grid, spec = _row_grid(v_slice.shape)
+    dr, di, dv = pl.pallas_call(
+        functools.partial(_transmit_bwd_kernel, sigma=rdt.type(sigma)),
+        grid=grid,
+        in_specs=[spec] * 5,
+        out_specs=[spec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct(v_slice.shape, rdt),
+            jax.ShapeDtypeStruct(v_slice.shape, rdt),
+            jax.ShapeDtypeStruct(v_slice.shape, rdt),
+        ],
+        interpret=interpret,
+    )(v_slice.astype(rdt), pr, pi, gr, gi)
+    return _complex(dr, di), dv.astype(v_slice.dtype)
+
+
+pallas_transmit.defvjp(_pallas_transmit_fwd, _pallas_transmit_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def propagator_multiply(psi_hat, prop, interpret: bool = False):
+    """psi_hat * P as one fused Pallas pass; P is constant (not diff'ed)."""
+    return _cmul(psi_hat, prop, conj_b=False, interpret=interpret)
+
+
+def _cmul(a, b, conj_b, interpret):
+    ar, ai = _planes(a)
+    br, bi = _planes(b)
+    rdt = ar.dtype
+    grid, spec = _row_grid(ar.shape)
+    cr, ci = pl.pallas_call(
+        functools.partial(_cmul_kernel, conj_b=conj_b),
+        grid=grid,
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct(ar.shape, rdt),
+            jax.ShapeDtypeStruct(ar.shape, rdt),
+        ],
+        interpret=interpret,
+    )(ar, ai, br, bi)
+    return _complex(cr, ci)
+
+
+def _propmul_fwd(psi_hat, prop, interpret):
+    return _cmul(psi_hat, prop, conj_b=False, interpret=interpret), prop
+
+
+def _propmul_bwd(interpret, prop, g):
+    # d_psi_hat = g * P (bilinear vjp pairing, see module doc); P gets no
+    # cotangent (precomputed constant)
+    return (_cmul(g, prop, conj_b=False, interpret=interpret), None)
+
+
+propagator_multiply.defvjp(_propmul_fwd, _propmul_bwd)
+
+
+def pallas_slice_step(psi, v_slice, propagator, sigma, *, interpret: bool = False):
+    """Drop-in ``slice_step`` for propagate.multislice using Pallas stages.
+
+    psi <- IFFT[ P * FFT[ exp(1j*sigma*V) * psi ] ] with both elementwise
+    stages as fused Pallas kernels and the FFTs in XLA.
+    """
+    psi = pallas_transmit(psi, v_slice, sigma, interpret)
+    psi_hat = jnp.fft.fft2(psi)
+    psi_hat = propagator_multiply(psi_hat, propagator.astype(psi_hat.dtype), interpret)
+    return jnp.fft.ifft2(psi_hat)

@@ -46,6 +46,19 @@ def default_slice_step(
     return jnp.fft.ifft2(jnp.fft.fft2(psi) * propagator.astype(psi.dtype))
 
 
+def make_slice_step(kind: str = "xla") -> Callable[..., jax.Array] | None:
+    """Select the slice-step implementation: 'xla' (fused by the compiler)
+    or 'pallas' (explicit fused VMEM kernels, SURVEY.md §7 M6).  The winner
+    is benchmark-selected per grid size — see benchmarks/run_configs.py."""
+    if kind == "xla":
+        return None  # multislice default
+    if kind == "pallas":
+        from .pallas.slice_step import pallas_slice_step
+
+        return pallas_slice_step
+    raise ValueError(f"unknown slice-step kind {kind!r}")
+
+
 def pick_remat_chunk(nslices: int) -> int:
     """Divisor of nslices nearest sqrt(nslices) (sqrt-S remat policy)."""
     if nslices <= 4:

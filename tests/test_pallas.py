@@ -1,0 +1,116 @@
+"""Pallas slice-step kernels vs the jnp path (SURVEY §7 M6), run in
+interpreter mode on CPU — the compiled path is exercised on real TPU by
+bench.py / benchmarks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdes_tpu.constants import interaction_sigma, wavelength_A
+from fdes_tpu.grids import Grid, fresnel_propagator
+from fdes_tpu.pallas.slice_step import (
+    pallas_slice_step,
+    pallas_transmit,
+    propagator_multiply,
+)
+from fdes_tpu.propagate import default_slice_step, multislice, transmit
+
+KV = 300e3
+
+
+@pytest.fixture(scope="module")
+def fields():
+    rng = np.random.default_rng(3)
+    n = 128  # lane-aligned
+    grid = Grid(ny=n, nx=n, py=0.3, px=0.3)
+    psi = jnp.asarray(
+        (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))).astype(np.complex64)
+    )
+    v = jnp.asarray((rng.normal(size=(n, n)) * 30.0).astype(np.float32))
+    prop = jnp.asarray(
+        fresnel_propagator(grid, wavelength_A(KV), 1.8).astype(np.complex64)
+    )
+    return psi, v, prop
+
+
+def test_pallas_transmit_matches_jnp(fields):
+    psi, v, _ = fields
+    sigma = interaction_sigma(KV)
+    out = pallas_transmit(psi, v, sigma, True)
+    ref = transmit(psi, v, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_transmit_grad_matches_jnp(fields):
+    psi, v, _ = fields
+    sigma = interaction_sigma(KV)
+
+    def loss_p(psi, v):
+        return jnp.sum(jnp.abs(pallas_transmit(psi, v, sigma, True) ** 2) ** 2)
+
+    def loss_j(psi, v):
+        return jnp.sum(jnp.abs(transmit(psi, v, sigma) ** 2) ** 2)
+
+    gp_psi, gp_v = jax.grad(loss_p, argnums=(0, 1))(psi, v)
+    gj_psi, gj_v = jax.grad(loss_j, argnums=(0, 1))(psi, v)
+    np.testing.assert_allclose(np.asarray(gp_v), np.asarray(gj_v), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gp_psi), np.asarray(gj_psi), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_propagator_multiply_and_grad(fields):
+    psi, _, prop = fields
+
+    def loss_p(psi):
+        return jnp.sum(jnp.abs(propagator_multiply(psi, prop, True)) ** 2)
+
+    def loss_j(psi):
+        return jnp.sum(jnp.abs(psi * prop) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(propagator_multiply(psi, prop, True)),
+        np.asarray(psi * prop),
+        atol=2e-6,
+    )
+    gp = jax.grad(loss_p)(psi)
+    gj = jax.grad(loss_j)(psi)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_slice_step_in_multislice(fields):
+    """Full rollout with the Pallas slice step == jnp rollout, fwd + grad."""
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.5 * v, 2.0 * v])
+
+    def step(psi, vs, prop, sigma):
+        return pallas_slice_step(psi, vs, prop, sigma, interpret=True)
+
+    out_p = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    out_j = multislice(psi, v_stack, prop, sigma)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j), atol=5e-6)
+
+    def loss(vs, stepper):
+        out = multislice(psi, v_stack * 0 + vs, prop, sigma, slice_step=stepper)
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    gp = jax.grad(loss)(v_stack, step)
+    gj = jax.grad(loss)(v_stack, None)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), rtol=3e-3, atol=3e-3)
+
+
+def test_rowgrid_nonmultiple_rows():
+    """ny not divisible by the preferred stripe still works (stripe shrinks)."""
+    rng = np.random.default_rng(5)
+    n_y, n_x = 24, 128
+    psi = jnp.asarray(
+        (rng.normal(size=(n_y, n_x)) + 1j * rng.normal(size=(n_y, n_x))).astype(
+            np.complex64
+        )
+    )
+    v = jnp.asarray(rng.normal(size=(n_y, n_x)).astype(np.float32))
+    out = pallas_transmit(psi, v, 0.01, True)
+    ref = transmit(psi, v, 0.01)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
