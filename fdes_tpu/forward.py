@@ -53,6 +53,7 @@ def hrtem_defocus_series(
     ctf_stack: jax.Array,
     *,
     remat_chunk: int | None = None,
+    slice_step: Callable[..., jax.Array] | None = None,
 ) -> jax.Array:
     """(D, ny, nx) intensity series: one rollout, D imaging passes.
 
@@ -61,7 +62,10 @@ def hrtem_defocus_series(
     reference recomputes the rollout per image (SURVEY.md §3.1); sharing it
     is both exact and D× cheaper.
     """
-    psi = multislice(psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk)
+    psi = multislice(
+        psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk,
+        slice_step=slice_step,
+    )
     return jax.vmap(lambda c: hrtem_image(psi, c))(ctf_stack)
 
 
@@ -73,6 +77,7 @@ def hrtem_tilt_series(
     ctf: jax.Array,
     *,
     remat_chunk: int | None = None,
+    slice_step: Callable[..., jax.Array] | None = None,
 ) -> jax.Array:
     """(T, ny, nx) tilt series: vmap of full rollouts over (psi0, P) pairs.
 
@@ -82,7 +87,10 @@ def hrtem_tilt_series(
     """
 
     def one(psi0, prop):
-        psi = multislice(psi0, v_stack, prop, sigma, remat_chunk=remat_chunk)
+        psi = multislice(
+            psi0, v_stack, prop, sigma, remat_chunk=remat_chunk,
+            slice_step=slice_step,
+        )
         return hrtem_image(psi, ctf)
 
     return jax.vmap(one)(psi0_stack, propagator_stack)
@@ -100,6 +108,7 @@ def stem_raster(
     *,
     probe_chunk: int | None = None,
     remat_chunk: int | None = None,
+    slice_step: Callable[..., jax.Array] | None = None,
 ) -> jax.Array:
     """STEM signals (ndet, npos): independent rollouts per probe position.
 
@@ -113,7 +122,10 @@ def stem_raster(
 
     def one(pos):
         psi0 = probe_from_stencil(stencil, qy, qx, pos, dtype=cdt)
-        psi = multislice(psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk)
+        psi = multislice(
+            psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk,
+            slice_step=slice_step,
+        )
         return detector_signal(psi, detector_masks)  # (ndet,)
 
     npos = positions_yx.shape[0]

@@ -99,6 +99,13 @@ def _cmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref, *, conj_b):
     ci_ref[:] = ar * bi + ai * br
 
 
+def _resolve_interpret(interpret):
+    """None -> interpret on CPU (no Mosaic backend), compiled on TPU."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return bool(interpret)
+
+
 def _planes(z):
     return jnp.real(z), jnp.imag(z)
 
@@ -108,13 +115,14 @@ def _complex(r, i):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def pallas_transmit(psi, v_slice, sigma: float, interpret: bool = False):
+def pallas_transmit(psi, v_slice, sigma: float, interpret: bool | None = None):
     """psi * exp(1j*sigma*v_slice) as one fused Pallas pass (c64 in/out)."""
     out_r, out_i = _transmit_fwd(psi, v_slice, sigma, interpret)
     return _complex(out_r, out_i)
 
 
 def _transmit_fwd(psi, v_slice, sigma, interpret):
+    interpret = _resolve_interpret(interpret)
     pr, pi = _planes(psi)
     rdt = pr.dtype
     grid, spec = _row_grid(v_slice.shape)
@@ -137,6 +145,7 @@ def _pallas_transmit_fwd(psi, v_slice, sigma, interpret):
 
 
 def _pallas_transmit_bwd(sigma, interpret, res, g):
+    interpret = _resolve_interpret(interpret)
     psi, v_slice = res
     pr, pi = _planes(psi)
     gr, gi = _planes(g)
@@ -161,12 +170,13 @@ pallas_transmit.defvjp(_pallas_transmit_fwd, _pallas_transmit_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def propagator_multiply(psi_hat, prop, interpret: bool = False):
+def propagator_multiply(psi_hat, prop, interpret: bool | None = None):
     """psi_hat * P as one fused Pallas pass; P is constant (not diff'ed)."""
     return _cmul(psi_hat, prop, conj_b=False, interpret=interpret)
 
 
 def _cmul(a, b, conj_b, interpret):
+    interpret = _resolve_interpret(interpret)
     ar, ai = _planes(a)
     br, bi = _planes(b)
     rdt = ar.dtype
@@ -198,7 +208,7 @@ def _propmul_bwd(interpret, prop, g):
 propagator_multiply.defvjp(_propmul_fwd, _propmul_bwd)
 
 
-def pallas_slice_step(psi, v_slice, propagator, sigma, *, interpret: bool = False):
+def pallas_slice_step(psi, v_slice, propagator, sigma, *, interpret: bool | None = None):
     """Drop-in ``slice_step`` for propagate.multislice using Pallas stages.
 
     psi <- IFFT[ P * FFT[ exp(1j*sigma*V) * psi ] ] with both elementwise
