@@ -31,8 +31,17 @@ def transmit(psi: jax.Array, v_slice: jax.Array, sigma: float) -> jax.Array:
 
     Computed as cos/sin of the real phase so no complex exp is materialised;
     V in V*Å, sigma in rad/(V*Å) (constants.py).
+
+    Absorptive (optical) potential: a COMPLEX v_slice V + i*V_abs applies
+    t = exp(1j*sigma*V - sigma*V_abs) — the imaginary part damps the wave
+    (inelastic/TDS absorption channel; SURVEY.md Appendix B item 3).
     """
     rdt = psi.real.dtype
+    if jnp.iscomplexobj(v_slice):
+        phase = jnp.asarray(sigma, rdt) * v_slice.real.astype(rdt)
+        damp = jnp.exp(-jnp.asarray(sigma, rdt) * v_slice.imag.astype(rdt))
+        t = jax.lax.complex(damp * jnp.cos(phase), damp * jnp.sin(phase))
+        return psi * t
     phase = jnp.asarray(sigma, rdt) * v_slice.astype(rdt)
     t = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
     return psi * t

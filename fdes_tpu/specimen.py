@@ -164,8 +164,30 @@ def make_si110_supercell(
     )
 
 
-def load_xyz(path: str, box: tuple[float, float, float], bfactor: float = 0.0) -> Specimen:
-    """Minimal .xyz reader (symbol x y z [B [occ]]) — SURVEY.md C3 I/O."""
+def load_xyz(
+    path: str,
+    box: tuple[float, float, float],
+    bfactor: float = 0.0,
+    native: bool | None = None,
+) -> Specimen:
+    """.xyz reader (symbol x y z [B [occ]]) — SURVEY.md C3 I/O.
+
+    native=None tries the C++ parser (fdes_tpu.native, strtod-speed for
+    tomography-scale atom counts) and silently falls back to the Python
+    path; True requires it; False forces the Python path.  Both parsers are
+    asserted equal in tests.
+    """
+    if native is not False:
+        try:
+            from . import native as native_mod
+
+            pos, numbers, bf, occ = native_mod.parse_xyz(path, default_b=bfactor)
+            return Specimen(
+                pos, numbers, bf, occ, np.asarray(box, dtype=np.float64)
+            )
+        except RuntimeError:
+            if native:  # explicitly requested
+                raise
     from .scattering import Z_OF_SYMBOL
 
     with open(path) as fh:
