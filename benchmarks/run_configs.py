@@ -82,7 +82,7 @@ def config1(scale, step_kind):
     from fdes_tpu.propagate import make_slice_step
 
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 256, 16)
-    step = make_slice_step(step_kind)
+    step = make_slice_step(step_kind, shape=grid.shape)
     fwd = jax.jit(lambda p0, vv: f.multislice(p0, vv, prop, sigma, slice_step=step))
     dt = _timeit(fwd, psi0, v, reps=10)
     psi = np.asarray(fwd(psi0, v), np.complex128)
@@ -119,7 +119,7 @@ def config2(scale, step_kind):
             jnp.complex64,
         )
     )
-    step = make_slice_step(step_kind)
+    step = make_slice_step(step_kind, shape=grid.shape)
     fwd = jax.jit(
         lambda vv: f.hrtem_defocus_series(
             vv, psi0, prop, sigma, ctfs, slice_step=step
@@ -220,7 +220,7 @@ def config4(scale, step_kind):
             jnp.float32,
         )
     )
-    step = make_slice_step(step_kind)
+    step = make_slice_step(step_kind, shape=grid.shape)
     fwd = jax.jit(
         lambda vv, p: f.stem_raster(
             vv, stencil, qy, qx, p, prop, sigma, masks, probe_chunk=chunk,
@@ -322,14 +322,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4")
     ap.add_argument("--scale", default="full", choices=["full", "ci"])
-    ap.add_argument("--step", default="xla", choices=["xla", "pallas", "both"])
+    ap.add_argument("--step", default="xla", choices=["xla", "pallas", "mxu", "all", "both"])
     ap.add_argument("--tag", default="")
     args = ap.parse_args(argv)
 
     import jax
 
     os.makedirs(RESULTS_DIR, exist_ok=True)
-    steps = ["xla", "pallas"] if args.step == "both" else [args.step]
+    steps = {"both": ["xla", "pallas"], "all": ["xla", "pallas", "mxu"]}.get(
+        args.step, [args.step]
+    )
     results = {}
     for c in [int(x) for x in args.configs.split(",")]:
         for step_kind in steps:

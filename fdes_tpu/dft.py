@@ -1,0 +1,85 @@
+"""2-D FFTs as MXU matmuls (SURVEY.md §7 M6 stretch: XLA-FFT alternative).
+
+XLA's TPU FFT runs on the VPU; at multislice grid sizes (256^2-2048^2) the
+MXU can evaluate the same transform as two dense DFT matmuls
+
+    FFT2[X] = F_n @ X @ F_m^T,     F_n[j,k] = exp(-2*pi*i*j*k/n)
+
+at O(N^3) FLOPs instead of O(N^2 log N) — a ~N/log N FLOP overhead that the
+systolic array's ~2 orders of magnitude FLOP advantage over the VPU can
+absorb.  Which backend wins is measured per grid size on hardware
+(benchmarks/run_configs.py --step mxu vs xla); propagate.make_slice_step
+ships the winner.
+
+Precision: matmuls run in f32 with f32 accumulation (complex64 matmul
+lowers to real MXU ops; bf16 would break the 1e-5 exit-wave gate).  The
+N-term dot accumulates ~sqrt(N)*eps_f32 ~ 5e-6 relative at N=2048 —
+same order as the c64 FFT itself.
+
+Matrices are O(N^2) constants per axis length — 2048^2 c64 is 32 MiB,
+built once per grid and reused by every slice of every rollout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_matrix_host(n: int, inverse: bool, dtype_name: str) -> np.ndarray:
+    """Host-built (n, n) DFT matrix in f64, cast to dtype (fft2 convention:
+    forward unnormalised, inverse carries 1/n)."""
+    j = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    sign = 2.0j if inverse else -2.0j
+    f = np.exp(sign * np.pi * j * k / n)
+    if inverse:
+        f = f / n
+    return f.astype(dtype_name)
+
+
+def dft_matrices(ny: int, nx: int, dtype=jnp.complex64):
+    """((Fy, Fx), (Fy_inv, Fx_inv)) device constants for fft2_mm/ifft2_mm."""
+    name = jnp.dtype(dtype).name
+    fy = jnp.asarray(_dft_matrix_host(ny, False, name))
+    fx = jnp.asarray(_dft_matrix_host(nx, False, name))
+    fy_i = jnp.asarray(_dft_matrix_host(ny, True, name))
+    fx_i = jnp.asarray(_dft_matrix_host(nx, True, name))
+    return (fy, fx), (fy_i, fx_i)
+
+
+def fft2_mm(x: jax.Array, fy: jax.Array, fx: jax.Array) -> jax.Array:
+    """fft2(x) as Fy @ x @ Fx^T (leading batch dims broadcast)."""
+    # Fx is symmetric (F^T = F) but the explicit transpose documents intent
+    # and costs nothing under XLA.
+    return jnp.matmul(fy, jnp.matmul(x, fx.T))
+
+
+def ifft2_mm(x: jax.Array, fy_i: jax.Array, fx_i: jax.Array) -> jax.Array:
+    """ifft2(x) as Fy_inv @ x @ Fx_inv^T."""
+    return jnp.matmul(fy_i, jnp.matmul(x, fx_i.T))
+
+
+def make_mxu_slice_step(ny: int, nx: int, dtype=jnp.complex64):
+    """A propagate.multislice ``slice_step`` using MXU matmul FFTs.
+
+    psi <- IDFT[ P * DFT[ exp(1j*sigma*V) * psi ] ] with both transforms as
+    dense matmuls; the elementwise stages stay jnp (XLA fuses them into the
+    matmul epilogues).
+    """
+    (fy, fx), (fy_i, fx_i) = dft_matrices(ny, nx, dtype)
+
+    def step(psi, v_slice, propagator, sigma):
+        from .propagate import transmit
+
+        psi = transmit(psi, v_slice, sigma)
+        psi_hat = fft2_mm(psi, fy, fx)
+        psi_hat = psi_hat * propagator.astype(psi_hat.dtype)
+        return ifft2_mm(psi_hat, fy_i, fx_i)
+
+    return step

@@ -55,16 +55,28 @@ def default_slice_step(
     return jnp.fft.ifft2(jnp.fft.fft2(psi) * propagator.astype(psi.dtype))
 
 
-def make_slice_step(kind: str = "xla") -> Callable[..., jax.Array] | None:
-    """Select the slice-step implementation: 'xla' (fused by the compiler)
-    or 'pallas' (explicit fused VMEM kernels, SURVEY.md §7 M6).  The winner
-    is benchmark-selected per grid size — see benchmarks/run_configs.py."""
+def make_slice_step(
+    kind: str = "xla", shape: tuple[int, int] | None = None, dtype=None
+) -> Callable[..., jax.Array] | None:
+    """Select the slice-step implementation (benchmark-selected per grid
+    size — see benchmarks/run_configs.py):
+
+    'xla'    — jnp ops, compiler-fused elementwise + VPU FFT (default);
+    'pallas' — explicit fused VMEM kernels around the XLA FFT (M6);
+    'mxu'    — DFT-as-matmul on the systolic array (dft.py; needs shape).
+    """
     if kind == "xla":
         return None  # multislice default
     if kind == "pallas":
         from .pallas.slice_step import pallas_slice_step
 
         return pallas_slice_step
+    if kind == "mxu":
+        if shape is None:
+            raise ValueError("kind='mxu' needs shape=(ny, nx)")
+        from .dft import make_mxu_slice_step
+
+        return make_mxu_slice_step(*shape, dtype=dtype or jnp.complex64)
     raise ValueError(f"unknown slice-step kind {kind!r}")
 
 

@@ -22,6 +22,7 @@ the reference's raw-binary V dump generalised to the whole pytree.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -158,7 +159,10 @@ def reconstruct(
     # plain first-order ones ignore them.
     opt = optax.with_extra_args_support(optimizer)
 
-    @jax.jit
+    # V and opt_state are donated: XLA reuses their buffers in place, so the
+    # steady-state iteration allocates nothing (the TPU analog of the
+    # reference's persistent cudaMalloc buffers, SURVEY.md C17).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(v, opt_state):
         loss, g = jax.value_and_grad(loss_fn)(v)
         updates, opt_state = opt.update(

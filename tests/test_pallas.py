@@ -114,3 +114,44 @@ def test_rowgrid_nonmultiple_rows():
     out = pallas_transmit(psi, v, 0.01, True)
     ref = transmit(psi, v, 0.01)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_mxu_matmul_fft_step_matches(fields):
+    """DFT-as-matmul slice step == FFT slice step, fwd + grad (dft.py)."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.3 * v])
+    step = make_slice_step("mxu", shape=psi.shape, dtype=psi.dtype)
+    out_m = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    out_j = multislice(psi, v_stack, prop, sigma)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_j), atol=1e-4)
+
+    def loss(vs, stepper):
+        out = multislice(psi, vs, prop, sigma, slice_step=stepper)
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    gm = jax.grad(loss)(v_stack, step)
+    gj = jax.grad(loss)(v_stack, None)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gj), rtol=5e-3, atol=5e-3)
+
+
+def test_mxu_fft_matrices_roundtrip():
+    from fdes_tpu.dft import dft_matrices, fft2_mm, ifft2_mm
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(
+        (rng.normal(size=(64, 32)) + 1j * rng.normal(size=(64, 32))).astype(
+            np.complex128
+        )
+    )
+    (fy, fx), (fy_i, fx_i) = dft_matrices(64, 32, jnp.complex128)
+    np.testing.assert_allclose(
+        np.asarray(fft2_mm(x, fy, fx)), np.fft.fft2(np.asarray(x)), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(ifft2_mm(fft2_mm(x, fy, fx), fy_i, fx_i)),
+        np.asarray(x),
+        atol=1e-10,
+    )
