@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
         help="dotted config override, e.g. --set sim.nslices=64",
     )
     ap.add_argument("--resume", action="store_true", help="resume reconstruction")
+    ap.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="enable jax_debug_nans (sanitizer tier, SURVEY.md §5)",
+    )
     args = ap.parse_args(argv)
 
     from .config import apply_overrides, load_config
@@ -53,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
 
     import jax
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     from . import io
     from .pipeline import setup, stem_setup
 
@@ -69,10 +77,26 @@ def main(argv: list[str] | None = None) -> int:
         io.write_npy(out("potential.npy"), sim.v_stack)
     elif cfg.mode == "hrtem":
         from .forward import hrtem_defocus_series
+        from .imaging import add_dose_noise, apply_mtf, gaussian_mtf
 
         imgs = hrtem_defocus_series(
             sim.v_stack, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack
         )
+        det = cfg.detector
+        if det.mtf_sigma_px > 0:
+            import jax.numpy as jnp
+
+            from .grids import host_cast
+
+            mtf = jnp.asarray(
+                host_cast(gaussian_mtf(sim.grid.shape, det.mtf_sigma_px), sim.rdtype)
+            )
+            imgs = jax.vmap(lambda i: apply_mtf(i, mtf))(imgs)
+        if det.apply_noise and det.dose_per_px > 0:
+            keys = jax.random.split(jax.random.key(cfg.seed), imgs.shape[0])
+            imgs = jax.vmap(
+                lambda k, i: add_dose_noise(k, i, det.dose_per_px)
+            )(keys, imgs)
         io.write_npy(out("images.npy"), imgs)
     elif cfg.mode == "stem":
         from .forward import stem_raster

@@ -69,6 +69,15 @@ class StemParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class DetectorParams:
+    """Camera model applied to simulated HRTEM images (SURVEY.md C11)."""
+
+    mtf_sigma_px: float = 0.0  # 0 = no MTF blur
+    dose_per_px: float = 0.0  # counts/px; 0 = noise-free
+    apply_noise: bool = False  # Poisson noise (synthetic data only)
+
+
+@dataclasses.dataclass(frozen=True)
 class ReconParams:
     iterations: int = 200
     optimizer: str = "adam"
@@ -95,6 +104,7 @@ class Config:
     sim: SimParams = SimParams()
     specimen: SpecimenParams = SpecimenParams()
     optics: OpticsParams = OpticsParams()
+    detector: DetectorParams = DetectorParams()
     stem: StemParams = StemParams()
     recon: ReconParams = ReconParams()
     mesh: MeshParams = MeshParams()
@@ -109,6 +119,7 @@ _SECTIONS: dict[str, type] = {
     "sim": SimParams,
     "specimen": SpecimenParams,
     "optics": OpticsParams,
+    "detector": DetectorParams,
     "stem": StemParams,
     "recon": ReconParams,
     "mesh": MeshParams,

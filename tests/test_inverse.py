@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from fdes_tpu.constants import interaction_sigma, wavelength_A
 from fdes_tpu.forward import hrtem_defocus_series
@@ -279,3 +280,50 @@ def test_make_optimizer_names():
 
     with pytest.raises(ValueError):
         make_optimizer("nope", 0.1)
+
+
+def test_fault_injection_mid_run_then_resume(rng, tmp_path):
+    """SURVEY §5 failure row: kill the loop mid-run via a raising callback
+    (the test-only fault hook), then --resume-style restart loses at most
+    checkpoint_every iterations and converges to the uninterrupted result."""
+    grid, lam, sigma, prop, psi0, v_true, ctfs, i_obs = _tiny(rng, n=16, s=2)
+
+    def fwd(v):
+        return hrtem_defocus_series(v, psi0, prop, sigma, ctfs)
+
+    loss_fn = make_loss(fwd, i_obs)
+    ck = str(tmp_path / "ck.npz")
+    opt = make_optimizer("adam", 1.0)
+
+    class Boom(RuntimeError):
+        pass
+
+    def fault(it, loss, v):
+        if it == 29:  # after the 20-iter checkpoint was written
+            raise Boom("injected fault")
+
+    with pytest.raises(Boom):
+        reconstruct(
+            loss_fn,
+            jnp.zeros_like(v_true),
+            iterations=40,
+            optimizer=opt,
+            checkpoint_path=ck,
+            checkpoint_every=20,
+            callback=fault,
+        )
+    # checkpoint from iteration 20 survived the crash
+    _, _, it = load_checkpoint(ck, jnp.zeros_like(v_true), opt.init(jnp.zeros_like(v_true)))
+    assert it == 20
+    res_resumed = reconstruct(
+        loss_fn,
+        jnp.zeros_like(v_true),
+        iterations=40,
+        optimizer=opt,
+        checkpoint_path=ck,
+        resume=True,
+    )
+    res_full = reconstruct(
+        loss_fn, jnp.zeros_like(v_true), iterations=40, optimizer=opt
+    )
+    np.testing.assert_allclose(res_resumed.v, res_full.v, rtol=1e-10, atol=1e-12)

@@ -154,3 +154,20 @@ def test_cli_invert_self_test(tmp_path):
     assert len(metrics) == 5
     assert metrics[-1]["loss"] < metrics[0]["loss"]
     assert (tmp_path / "out" / "checkpoint.npz").exists()
+
+
+def test_cli_hrtem_with_detector_noise(tmp_path):
+    cfg = _write_small_cfg(
+        tmp_path,
+        "hrtem",
+        extra="[detector]\nmtf_sigma_px = 0.5\ndose_per_px = 100.0\napply_noise = true\n",
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    imgs = np.load(tmp_path / "out" / "images.npy")
+    # Poisson noise quantises to multiples of 1/dose
+    frac = imgs * 100.0 - np.round(imgs * 100.0)
+    assert np.abs(frac).max() < 1e-4
