@@ -65,10 +65,12 @@ def main() -> int:
     sigma = f.interaction_sigma(kv)
 
     v = build_potential(sliced, grid, dtype=jnp.float32)
-    prop = jnp.asarray(host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64))
-    stencil = jnp.asarray(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
-    qy = jnp.asarray(host_cast(grid.qy()[:, None], jnp.float32))
-    qx = jnp.asarray(host_cast(grid.qx()[None, :], jnp.float32))
+    # Host np constants (closed over below): np closures embed as literals;
+    # device-array closures would force a trace-time device->host readback.
+    prop = host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64)
+    stencil = host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64)
+    qy = host_cast(grid.qy()[:, None], jnp.float32)
+    qx = host_cast(grid.qx()[None, :], jnp.float32)
     rng = np.random.default_rng(0)
     pos = jnp.asarray(
         (rng.random((nprobes, 2)) * np.array([grid.extent[0], grid.extent[1]])).astype(

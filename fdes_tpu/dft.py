@@ -44,23 +44,30 @@ def _dft_matrix_host(n: int, inverse: bool, dtype_name: str) -> np.ndarray:
 
 
 def dft_matrices(ny: int, nx: int, dtype=jnp.complex64):
-    """((Fy, Fx), (Fy_inv, Fx_inv)) device constants for fft2_mm/ifft2_mm."""
+    """((Fy, Fx), (Fy_inv, Fx_inv)) HOST numpy constants for fft2_mm.
+
+    Returned as NumPy, not device arrays: a jitted function that closes
+    over them embeds them as compile-time constants directly from host
+    memory.  Closing over a DEVICE array instead forces a device->host
+    readback at trace time — a path some remote TPU runtimes do not
+    implement (and a gratuitous transfer everywhere else).
+    """
     name = jnp.dtype(dtype).name
-    fy = jnp.asarray(_dft_matrix_host(ny, False, name))
-    fx = jnp.asarray(_dft_matrix_host(nx, False, name))
-    fy_i = jnp.asarray(_dft_matrix_host(ny, True, name))
-    fx_i = jnp.asarray(_dft_matrix_host(nx, True, name))
+    fy = _dft_matrix_host(ny, False, name)
+    fx = _dft_matrix_host(nx, False, name)
+    fy_i = _dft_matrix_host(ny, True, name)
+    fx_i = _dft_matrix_host(nx, True, name)
     return (fy, fx), (fy_i, fx_i)
 
 
-def fft2_mm(x: jax.Array, fy: jax.Array, fx: jax.Array) -> jax.Array:
+def fft2_mm(x, fy, fx) -> jax.Array:
     """fft2(x) as Fy @ x @ Fx^T (leading batch dims broadcast)."""
     # Fx is symmetric (F^T = F) but the explicit transpose documents intent
     # and costs nothing under XLA.
     return jnp.matmul(fy, jnp.matmul(x, fx.T))
 
 
-def ifft2_mm(x: jax.Array, fy_i: jax.Array, fx_i: jax.Array) -> jax.Array:
+def ifft2_mm(x, fy_i, fx_i) -> jax.Array:
     """ifft2(x) as Fy_inv @ x @ Fx_inv^T."""
     return jnp.matmul(fy_i, jnp.matmul(x, fx_i.T))
 
