@@ -83,22 +83,27 @@ def main() -> int:
 
     slice_step = make_slice_step(os.environ.get("FDES_BENCH_STEP", "xla"))
 
-    def rollout_batch(v_stack, positions):
+    def rollout_batch(v_stack, positions, carry):
+        # carry chains successive calls (output feeds input) so the timing
+        # below cannot overlap calls, and the final scalar FETCH proves the
+        # whole chain executed: block_until_ready alone is not a reliable
+        # completion barrier on remote-tunnel TPU runtimes.
+        positions = positions + carry * jnp.float32(1e-30)
+
         def one(p):
             psi0 = probe_from_stencil(stencil, qy, qx, p, dtype=jnp.complex64)
             psi = multislice(psi0, v_stack, prop, sigma, slice_step=slice_step)
-            # cheap reduction so nothing is dead-code-eliminated
             return jnp.sum(jnp.abs(psi) ** 2)
 
         return jnp.sum(jax.vmap(one)(positions))
 
     step = jax.jit(rollout_batch)
-    step(v, pos).block_until_ready()  # compile
+    float(step(v, pos, jnp.float32(0.0)))  # compile + drain queue
     t0 = time.time()
-    acc = 0.0
+    acc = jnp.float32(0.0)
     for _ in range(reps):
-        acc = step(v, pos)
-    acc.block_until_ready()
+        acc = step(v, pos, acc)
+    float(acc)  # fetch-synced end of timing window
     dt = (time.time() - t0) / reps
 
     slice_props = nprobes * nslices / dt

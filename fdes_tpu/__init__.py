@@ -9,12 +9,19 @@ reference blueprint and fdes_tpu/constants.py for all physics conventions.
 
 from .config import Config, load_config
 from .constants import interaction_sigma, lorentz_gamma, wavelength_A
-from .forward import exit_wave, hrtem_defocus_series, hrtem_tilt_series, stem_raster
+from .forward import (
+    exit_wave,
+    hrtem_defocus_series,
+    hrtem_tilt_series,
+    stem_raster,
+    stem_raster_4d,
+)
 from .grids import Grid, fresnel_propagator
-from .loss import l2_mismatch, make_loss
+from .loss import l2_mismatch, make_loss, tikhonov, total_variation
 from .optics import Aberrations, aperture, chi, ctf, ctf_series, envelopes
 from .probe import plane_wave, probe_from_stencil, probe_stencil
-from .propagate import multislice, pick_remat_chunk, transmit
+from .phonon import phonon_average, phonon_configs, phonon_sliced
+from .propagate import make_slice_step, multislice, pick_remat_chunk, transmit
 from .reconstruct import make_optimizer, reconstruct
 from .scattering import ScatteringTable, load_kirkland_table
 from .sharding import make_mesh, shard_measurements, sharded_value_and_grad
@@ -47,7 +54,11 @@ __all__ = [
     "make_mesh",
     "make_optimizer",
     "make_si110_supercell",
+    "make_slice_step",
     "multislice",
+    "phonon_average",
+    "phonon_configs",
+    "phonon_sliced",
     "pick_remat_chunk",
     "plane_wave",
     "probe_from_stencil",
@@ -57,6 +68,9 @@ __all__ = [
     "sharded_value_and_grad",
     "slice_specimen",
     "stem_raster",
+    "stem_raster_4d",
+    "tikhonov",
+    "total_variation",
     "transmit",
     "wavelength_A",
 ]

@@ -136,3 +136,45 @@ def stem_raster(
     chunks = positions_yx.reshape(npos // probe_chunk, probe_chunk, 2)
     out = jax.lax.map(jax.vmap(one), chunks)  # (nchunk, chunk, ndet)
     return out.reshape(npos, -1).T
+
+
+def stem_raster_4d(
+    v_stack: jax.Array,
+    stencil: jax.Array,
+    qy: jax.Array,
+    qx: jax.Array,
+    positions_yx: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    *,
+    probe_chunk: int | None = None,
+    remat_chunk: int | None = None,
+    slice_step: Callable[..., jax.Array] | None = None,
+) -> jax.Array:
+    """4D-STEM: full CBED pattern per probe, (npos, ny, nx).
+
+    The reference integrates annular detectors on-device and never stores
+    the diffraction plane [U?]; the 4D export (for ptychography/COM/iDPC
+    post-processing) falls out of the same rollout for free here.  Memory
+    is npos*ny*nx floats — chunk the probe axis for large rasters.
+    """
+    from .detector import cbed_pattern
+
+    cdt = stencil.dtype
+
+    def one(pos):
+        psi0 = probe_from_stencil(stencil, qy, qx, pos, dtype=cdt)
+        psi = multislice(
+            psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk,
+            slice_step=slice_step,
+        )
+        return cbed_pattern(psi)
+
+    npos = positions_yx.shape[0]
+    if probe_chunk is None or probe_chunk >= npos:
+        return jax.vmap(one)(positions_yx)
+    if npos % probe_chunk != 0:
+        raise ValueError(f"probe_chunk {probe_chunk} must divide npos {npos}")
+    chunks = positions_yx.reshape(npos // probe_chunk, probe_chunk, 2)
+    out = jax.lax.map(jax.vmap(one), chunks)
+    return out.reshape(npos, *out.shape[2:])

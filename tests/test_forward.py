@@ -143,3 +143,47 @@ def test_probe_is_centered_and_normalized(small_sim):
     iy, ix = np.unravel_index(int(jnp.argmax(jnp.abs(psi))), grid.shape)
     assert abs(iy * grid.py - 6.4) <= grid.py
     assert abs(ix * grid.px - 3.2) <= grid.px
+
+
+def test_stem_4d_export_and_gradients(small_sim):
+    """4D-STEM CBED stack: Parseval-consistent with detector signals, and
+    the STEM inverse path (grad of a detector-signal loss wrt V) flows."""
+    from fdes_tpu.forward import stem_raster_4d
+    import jax
+
+    grid, sliced, v, lam, sigma, prop = small_sim
+    stencil = jnp.asarray(probe_stencil(grid, lam, 25e-3))
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+    pos = jnp.asarray([[3.0, 3.0], [6.0, 6.0]])
+    cbed = stem_raster_4d(v, stencil, qy, qx, pos, prop, sigma)
+    assert cbed.shape == (2, 64, 64)
+    # total CBED power == probe power (unit) within bandlimit loss
+    total = np.asarray(jnp.sum(cbed, axis=(1, 2)))
+    assert np.all(total <= 1.0 + 1e-9) and np.all(total > 0.9)
+    # masked integral of the CBED == detector_signal
+    mask = annular_mask(grid, lam, 0.0, 30e-3)
+    sig = stem_raster(v, stencil, qy, qx, pos, prop, sigma, mask[None])
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(cbed * mask[None], axis=(1, 2))),
+        np.asarray(sig[0]),
+        rtol=1e-10,
+    )
+    # chunked == unchunked
+    cbed_c = stem_raster_4d(v, stencil, qy, qx, pos, prop, sigma, probe_chunk=1)
+    # atol floors denormal (~1e-34) out-of-disc CBED pixels (vmap/lax.map
+    # rounding reassociation, as in the raster chunk test)
+    np.testing.assert_allclose(
+        np.asarray(cbed_c), np.asarray(cbed), rtol=1e-12, atol=1e-28
+    )
+
+    # STEM inverse: gradient of an ADF-signal mismatch wrt the potential
+    target = sig + 0.01
+
+    def loss(vv):
+        s = stem_raster(vv, stencil, qy, qx, pos, prop, sigma, mask[None])
+        return jnp.sum((s - target) ** 2)
+
+    g = jax.grad(loss)(v)
+    assert g.shape == v.shape
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.linalg.norm(g)) > 0

@@ -148,3 +148,29 @@ def test_multislice_jit_and_grad_smoke(rng):
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(grad)))
     assert float(jnp.abs(grad).max()) > 0
+
+
+def test_frozen_golden_pack_drift():
+    """The committed golden pack still matches a fresh golden run — detects
+    accidental drift in physics conventions (SURVEY §4 fixtures row;
+    regenerate deliberately with scripts/regen_golden.py)."""
+    import os
+    import sys
+
+    pack_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "golden",
+        "si110_golden_pack.npz",
+    )
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import regen_golden
+
+    fresh = regen_golden.build()
+    with np.load(pack_path) as pack:
+        for key in fresh:
+            np.testing.assert_allclose(
+                pack[key], fresh[key], rtol=1e-12, atol=1e-13, err_msg=key
+            )
