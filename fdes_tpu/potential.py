@@ -135,6 +135,78 @@ def deltas_to_potential(
     return v.reshape(nchunk * slice_chunk, ny, nx)[:s]
 
 
+def pad_atoms_per_slice(sliced: SlicedAtoms, dtype=np.float32):
+    """Rearrange flat atoms into per-slice padded arrays (S, max_atoms).
+
+    The scan-fused builder (slice_potential / propagate.multislice_streamed)
+    needs a STATIC per-slice atom count; atoms are padded to the max over
+    slices with zero weight (classic JAX shape discipline, SURVEY.md §7).
+    Returns (x, y, species_idx, weight) host arrays plus max_atoms.
+    """
+    s = sliced.nslices
+    counts = np.bincount(sliced.slice_idx, minlength=s)
+    m = int(counts.max()) if counts.size else 0
+    x = np.zeros((s, m), dtype)
+    y = np.zeros((s, m), dtype)
+    sp = np.zeros((s, m), np.int32)
+    w = np.zeros((s, m), dtype)
+    fill = np.zeros(s, np.int64)
+    for a in range(sliced.x.shape[0]):
+        j = int(sliced.slice_idx[a])
+        k = fill[j]
+        x[j, k] = sliced.x[a]
+        y[j, k] = sliced.y[a]
+        sp[j, k] = sliced.species_idx[a]
+        w[j, k] = sliced.weight[a]
+        fill[j] += 1
+    return x, y, sp, w, m
+
+
+def slice_potential(
+    x: jax.Array,
+    y: jax.Array,
+    species_idx: jax.Array,
+    weight: jax.Array,
+    ff_r: jax.Array,
+    *,
+    shape: tuple[int, int],
+    pixel: tuple[float, float],
+) -> jax.Array:
+    """One slice's projected potential from its (padded) atoms — traced.
+
+    Same bilinear-scatter + rfft2 pipeline as the batched builder, for ONE
+    slice; used inside the propagation scan so the (S, ny, nx) stack never
+    materialises (pod-scale forward runs, SURVEY.md §7 memory risk).
+    """
+    ny, nx = shape
+    py, px = pixel
+    nsp = ff_r.shape[0]
+    rdt = ff_r.dtype
+    fy = y.astype(rdt) / rdt.type(py)
+    fx = x.astype(rdt) / rdt.type(px)
+    iy0 = jnp.floor(fy)
+    ix0 = jnp.floor(fx)
+    wy1 = fy - iy0
+    wx1 = fx - ix0
+    iy0 = iy0.astype(jnp.int32)
+    ix0 = ix0.astype(jnp.int32)
+    w = weight.astype(rdt)
+    idxs = []
+    vals = []
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        iy = jnp.mod(iy0 + dy, ny)
+        ix = jnp.mod(ix0 + dx, nx)
+        cw = (wy1 if dy else 1.0 - wy1) * (wx1 if dx else 1.0 - wx1)
+        idxs.append((species_idx * ny + iy) * nx + ix)
+        vals.append(w * cw)
+    g = jnp.zeros((nsp * ny * nx,), rdt)
+    g = g.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals))
+    g = g.reshape(nsp, ny, nx)
+    vq = jnp.sum(jnp.fft.rfft2(g) * ff_r.astype(jnp.fft.rfft2(g).dtype), axis=0)
+    inv_area = rdt.type(1.0 / (py * px))
+    return jnp.fft.irfft2(vq, s=(ny, nx)) * inv_area
+
+
 def build_potential(
     sliced: SlicedAtoms,
     grid: Grid,

@@ -55,6 +55,55 @@ def default_slice_step(
     return jnp.fft.ifft2(jnp.fft.fft2(psi) * propagator.astype(psi.dtype))
 
 
+def multislice_streamed(
+    psi0: jax.Array,
+    atoms_xyspw: tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+    ff_r: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    *,
+    shape: tuple[int, int],
+    pixel: tuple[float, float],
+    remat_chunk: int | None = None,
+) -> jax.Array:
+    """Multislice with the potential built ON THE FLY inside the scan.
+
+    atoms_xyspw: per-slice padded (S, max_atoms) arrays from
+    potential.pad_atoms_per_slice; ff_r the rfft2-grid species factors.
+    Each scan step scatters one slice's atoms, builds V_j, transmits and
+    propagates — the (S, ny, nx) potential stack never exists, trading
+    +2 rFFTs/slice for O(S*N^2) memory (pod config 512x2048^2 = 8 GiB;
+    SURVEY.md §7 memory risk).  Forward-only tool: in the INVERSE problem
+    the potential stack is the optimization variable itself.
+    """
+    from .potential import slice_potential
+
+    x, y, sp, w = atoms_xyspw
+
+    def body(psi, slice_atoms):
+        xs, ys, sps, ws = slice_atoms
+        v = slice_potential(
+            xs, ys, sps, ws, ff_r, shape=shape, pixel=pixel
+        )
+        return default_slice_step(psi, v, propagator, sigma), None
+
+    s = x.shape[0]
+    if not remat_chunk or remat_chunk >= s:
+        return jax.lax.scan(body, psi0, (x, y, sp, w))[0]
+    if s % remat_chunk != 0:
+        raise ValueError(f"remat_chunk {remat_chunk} must divide nslices {s}")
+    nb = s // remat_chunk
+    chunked = tuple(
+        a.reshape(nb, remat_chunk, *a.shape[1:]) for a in (x, y, sp, w)
+    )
+
+    @jax.checkpoint
+    def inner(psi, chunk):
+        return jax.lax.scan(body, psi, chunk)[0]
+
+    return jax.lax.scan(lambda p, c: (inner(p, c), None), psi0, chunked)[0]
+
+
 def make_slice_step(
     kind: str = "xla", shape: tuple[int, int] | None = None, dtype=None
 ) -> Callable[..., jax.Array] | None:

@@ -105,3 +105,42 @@ def test_translation_equivariance():
     v1 = golden_potential_bilinear(s1, grid)
     v2 = golden_potential_bilinear(s2, grid)
     np.testing.assert_allclose(np.roll(v1, (2, 4), axis=(1, 2)), v2, atol=1e-9)
+
+
+def test_streamed_multislice_matches_precomputed(si110_small):
+    """On-the-fly (scan-fused) potential build == precomputed stack path."""
+    import jax.numpy as jnp
+
+    from fdes_tpu.constants import interaction_sigma, wavelength_A
+    from fdes_tpu.grids import fresnel_propagator
+    from fdes_tpu.potential import (
+        build_potential,
+        pad_atoms_per_slice,
+        species_factors_rfft,
+    )
+    from fdes_tpu.probe import plane_wave
+    from fdes_tpu.propagate import multislice, multislice_streamed
+
+    spec, grid, sliced = si110_small
+    kv = 300e3
+    lam = wavelength_A(kv)
+    sigma = interaction_sigma(kv)
+    v = build_potential(sliced, grid, dtype=jnp.float64)
+    prop = jnp.asarray(fresnel_propagator(grid, lam, sliced.dz))
+    psi0 = plane_wave(grid, lam, dtype=jnp.complex128)
+    ref = multislice(psi0, v, prop, sigma)
+
+    x, y, sp, w, m = pad_atoms_per_slice(sliced, dtype=np.float64)
+    ff = jnp.asarray(species_factors_rfft(grid, sliced.species))
+    atoms = tuple(jnp.asarray(a) for a in (x, y, sp, w))
+    out = multislice_streamed(
+        psi0, atoms, ff, prop, sigma, shape=grid.shape,
+        pixel=(grid.py, grid.px),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-11)
+    # remat-chunked streamed path identical
+    out_r = multislice_streamed(
+        psi0, atoms, ff, prop, sigma, shape=grid.shape,
+        pixel=(grid.py, grid.px), remat_chunk=4,
+    )
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref), atol=1e-11)
