@@ -69,19 +69,49 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(cfg.output_dir, exist_ok=True)
     out = lambda name: os.path.join(cfg.output_dir, name)  # noqa: E731
 
+    from .propagate import make_slice_step
+
+    slice_step = make_slice_step(cfg.sim.engine, shape=sim.grid.shape)
+
+    def phonon_stacks():
+        """Potential stacks to average over: one (DWF) or many (frozen)."""
+        if cfg.sim.phonon_configs <= 0:
+            return [sim.v_stack]
+        from .phonon import phonon_sliced
+        from .potential import build_potential
+
+        return [
+            build_potential(c, sim.grid, dtype=sim.rdtype)
+            for c in phonon_sliced(
+                sim.specimen,
+                cfg.sim.phonon_configs,
+                cfg.sim.nslices,
+                dz=cfg.sim.dz_A or None,
+                seed=cfg.seed,
+            )
+        ]
+
     if cfg.mode == "forward":
         from .forward import exit_wave
 
-        psi = exit_wave(sim.psi0, sim.v_stack, sim.propagator, sim.sigma)
+        psi = exit_wave(
+            sim.psi0, sim.v_stack, sim.propagator, sim.sigma,
+            slice_step=slice_step,
+        )
         io.write_npy(out("exit_wave.npy"), psi)
         io.write_npy(out("potential.npy"), sim.v_stack)
     elif cfg.mode == "hrtem":
         from .forward import hrtem_defocus_series
         from .imaging import add_dose_noise, apply_mtf, gaussian_mtf
 
-        imgs = hrtem_defocus_series(
-            sim.v_stack, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack
-        )
+        stacks = phonon_stacks()
+        imgs = sum(
+            hrtem_defocus_series(
+                v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
+                slice_step=slice_step,
+            )
+            for v in stacks
+        ) / len(stacks)
         det = cfg.detector
         if det.mtf_sigma_px > 0:
             import jax.numpy as jnp
@@ -102,17 +132,22 @@ def main(argv: list[str] | None = None) -> int:
         from .forward import stem_raster
 
         stencil, qy, qx, positions, masks = stem_setup(sim)
-        sig = stem_raster(
-            sim.v_stack,
-            stencil,
-            qy,
-            qx,
-            positions,
-            sim.propagator,
-            sim.sigma,
-            masks,
-            probe_chunk=cfg.stem.probe_chunk or None,
-        )
+        stacks = phonon_stacks()
+        sig = sum(
+            stem_raster(
+                v,
+                stencil,
+                qy,
+                qx,
+                positions,
+                sim.propagator,
+                sim.sigma,
+                masks,
+                probe_chunk=cfg.stem.probe_chunk or None,
+                slice_step=slice_step,
+            )
+            for v in stacks
+        ) / len(stacks)
         raster = np.asarray(sig).reshape(-1, cfg.stem.scan_ny, cfg.stem.scan_nx)
         io.write_npy(out("stem.npy"), raster)
     elif cfg.mode == "invert":

@@ -33,6 +33,9 @@ class SimParams:
     tilt_x_rad: float = 0.0
     tilt_y_rad: float = 0.0
     dtype: str = "complex64"
+    engine: str = "xla"  # slice-step backend: xla | pallas | mxu
+    absorptive_factor: float = 0.0  # V_abs = factor * V (optical potential)
+    phonon_configs: int = 0  # >0: frozen-phonon average over this many configs
 
 
 @dataclasses.dataclass(frozen=True)

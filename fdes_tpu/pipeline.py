@@ -71,6 +71,10 @@ def setup(cfg: Config) -> Sim:
     sigma = constants.interaction_sigma(cfg.sim.voltage_V)
 
     v_stack = build_potential(sliced, grid, dtype=rdt)
+    if cfg.sim.absorptive_factor > 0.0:
+        # absorptive (optical) potential: imaginary part damps the wave
+        # (propagate.transmit handles complex V)
+        v_stack = v_stack + 1j * cfg.sim.absorptive_factor * jnp.abs(v_stack)
     prop = jnp.asarray(
         host_cast(
             fresnel_propagator(

@@ -171,3 +171,21 @@ def test_cli_hrtem_with_detector_noise(tmp_path):
     # Poisson noise quantises to multiples of 1/dose
     frac = imgs * 100.0 - np.round(imgs * 100.0)
     assert np.abs(frac).max() < 1e-4
+
+
+def test_cli_phonon_and_absorptive_and_engine(tmp_path):
+    cfg = _write_small_cfg(tmp_path, "hrtem")
+    # append extra sim keys (toml: must go under [sim], so rewrite)
+    text = cfg.read_text().replace(
+        "[sim]", "[sim]\nphonon_configs = 2\nabsorptive_factor = 0.05\n"
+    )
+    cfg.write_text(text)
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    imgs = np.load(tmp_path / "out" / "images.npy")
+    assert np.all(np.isfinite(imgs))
+    # absorption strictly lowers the mean intensity below 1 (plane wave in)
+    assert imgs.mean() < 1.0
