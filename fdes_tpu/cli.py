@@ -101,17 +101,26 @@ def main(argv: list[str] | None = None) -> int:
         io.write_npy(out("exit_wave.npy"), psi)
         io.write_npy(out("potential.npy"), sim.v_stack)
     elif cfg.mode == "hrtem":
-        from .forward import hrtem_defocus_series
+        from .forward import hrtem_defocus_series, hrtem_tilt_series
         from .imaging import add_dose_noise, apply_mtf, gaussian_mtf
 
         stacks = phonon_stacks()
-        imgs = sum(
-            hrtem_defocus_series(
-                v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
-                slice_step=slice_step,
-            )
-            for v in stacks
-        ) / len(stacks)
+        if sim.psi0_stack is not None:
+            imgs = sum(
+                hrtem_tilt_series(
+                    v, sim.psi0_stack, sim.prop_stack, sim.sigma,
+                    sim.ctf_stack[0], slice_step=slice_step,
+                )
+                for v in stacks
+            ) / len(stacks)
+        else:
+            imgs = sum(
+                hrtem_defocus_series(
+                    v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
+                    slice_step=slice_step,
+                )
+                for v in stacks
+            ) / len(stacks)
         det = cfg.detector
         if det.mtf_sigma_px > 0:
             import jax.numpy as jnp
@@ -128,6 +137,27 @@ def main(argv: list[str] | None = None) -> int:
                 lambda k, i: add_dose_noise(k, i, det.dose_per_px)
             )(keys, imgs)
         io.write_npy(out("images.npy"), imgs)
+    elif cfg.mode == "stem4d":
+        from .forward import stem_raster_4d
+
+        stencil, qy, qx, positions, masks = stem_setup(sim)
+        cbed = stem_raster_4d(
+            sim.v_stack,
+            stencil,
+            qy,
+            qx,
+            positions,
+            sim.propagator,
+            sim.sigma,
+            probe_chunk=cfg.stem.probe_chunk or None,
+            slice_step=slice_step,
+        )
+        io.write_npy(
+            out("cbed.npy"),
+            np.asarray(cbed).reshape(
+                cfg.stem.scan_ny, cfg.stem.scan_nx, *sim.grid.shape
+            ),
+        )
     elif cfg.mode == "stem":
         from .forward import stem_raster
 
@@ -153,10 +183,26 @@ def main(argv: list[str] | None = None) -> int:
     elif cfg.mode == "invert":
         import jax.numpy as jnp
 
-        from .forward import hrtem_defocus_series
+        from .forward import hrtem_defocus_series, hrtem_tilt_series
         from .loss import make_loss
         from .propagate import pick_remat_chunk
         from .reconstruct import make_optimizer, reconstruct
+
+        chunk = cfg.recon.remat_chunk or pick_remat_chunk(cfg.sim.nslices)
+
+        if sim.psi0_stack is not None:
+            # tilt-series modality (the reference's inverse tomography)
+            def fwd(v):
+                return hrtem_tilt_series(
+                    v, sim.psi0_stack, sim.prop_stack, sim.sigma,
+                    sim.ctf_stack[0], remat_chunk=chunk,
+                )
+        else:
+            def fwd(v):
+                return hrtem_defocus_series(
+                    v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
+                    remat_chunk=chunk,
+                )
 
         if cfg.observed_path:
             i_obs = jnp.asarray(
@@ -166,16 +212,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             # Self-test mode: invert synthetic data from the loaded specimen.
-            i_obs = hrtem_defocus_series(
-                sim.v_stack, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack
+            real_v = (
+                sim.v_stack.real
+                if jnp.iscomplexobj(sim.v_stack)
+                else sim.v_stack
             )
-        chunk = cfg.recon.remat_chunk or pick_remat_chunk(cfg.sim.nslices)
-
-        def fwd(v):
-            return hrtem_defocus_series(
-                v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
-                remat_chunk=chunk,
-            )
+            i_obs = fwd(real_v)
 
         loss_fn = make_loss(
             fwd, i_obs, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight

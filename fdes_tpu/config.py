@@ -34,6 +34,10 @@ class SimParams:
     tilt_y_rad: float = 0.0
     dtype: str = "complex64"
     engine: str = "xla"  # slice-step backend: xla | pallas | mxu
+    #: ((tx, ty), ...) beam/specimen tilt series in rad; non-empty switches
+    #: hrtem/invert modes from a defocus series to a tilt series (the
+    #: reference's inverse-tomography modality, SURVEY.md §3.2 / PRB 2013)
+    tilt_series_rad: tuple = ()
     absorptive_factor: float = 0.0  # V_abs = factor * V (optical potential)
     phonon_configs: int = 0  # >0: frozen-phonon average over this many configs
 
@@ -103,7 +107,7 @@ class MeshParams:
 
 @dataclasses.dataclass(frozen=True)
 class Config:
-    mode: str = "forward"  # forward | hrtem | invert | stem
+    mode: str = "forward"  # forward / hrtem / invert / stem / stem4d
     sim: SimParams = SimParams()
     specimen: SpecimenParams = SpecimenParams()
     optics: OpticsParams = OpticsParams()

@@ -41,6 +41,8 @@ class Sim:
     psi0: object  # (ny, nx) device complex incident wave
     ctf_stack: object  # (D, ny, nx) device complex
     aberrations: Aberrations
+    psi0_stack: object = None  # (T, ny, nx) tilt-series incident waves
+    prop_stack: object = None  # (T, ny, nx) tilt-series propagators
 
 
 def _dtypes(name: str):
@@ -110,6 +112,24 @@ def setup(cfg: Config) -> Sim:
             cdt,
         )
     )
+    psi0_stack = prop_stack = None
+    if cfg.sim.tilt_series_rad:
+        tilts = [tuple(t) for t in cfg.sim.tilt_series_rad]
+        psi0_stack = jnp.stack([plane_wave(grid, lam, t, dtype=cdt) for t in tilts])
+        prop_stack = jnp.stack(
+            [
+                jnp.asarray(
+                    host_cast(
+                        fresnel_propagator(
+                            grid, lam, sliced.dz, tilt_xy_rad=t,
+                            bandlimit=cfg.sim.bandlimit or None,
+                        ),
+                        cdt,
+                    )
+                )
+                for t in tilts
+            ]
+        )
     return Sim(
         cfg=cfg,
         grid=grid,
@@ -124,6 +144,8 @@ def setup(cfg: Config) -> Sim:
         psi0=psi0,
         ctf_stack=ctfs,
         aberrations=ab,
+        psi0_stack=psi0_stack,
+        prop_stack=prop_stack,
     )
 
 

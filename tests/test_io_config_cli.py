@@ -189,3 +189,29 @@ def test_cli_phonon_and_absorptive_and_engine(tmp_path):
     assert np.all(np.isfinite(imgs))
     # absorption strictly lowers the mean intensity below 1 (plane wave in)
     assert imgs.mean() < 1.0
+
+
+def test_cli_tilt_series_invert_and_stem4d(tmp_path):
+    cfg = _write_small_cfg(tmp_path, "invert")
+    text = cfg.read_text().replace(
+        "[sim]",
+        "[sim]\ntilt_series_rad = [[0.0, 0.0], [0.02, 0.0], [0.0, 0.02], [-0.02, 0.0]]\n",
+    )
+    cfg.write_text(text)
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = [json.loads(l) for l in open(tmp_path / "out" / "metrics.jsonl")]
+    assert metrics[-1]["loss"] < metrics[0]["loss"]
+
+    cfg4 = _write_small_cfg(tmp_path, "stem4d")
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg4)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    cbed = np.load(tmp_path / "out" / "cbed.npy")
+    assert cbed.shape == (2, 2, 32, 32)
+    assert np.all(np.isfinite(cbed))
