@@ -47,6 +47,16 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     import fdes_tpu as f
     from fdes_tpu.grids import Grid, host_cast
     from fdes_tpu.potential import build_potential

@@ -60,6 +60,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    # Persistent compile cache: repeated runs skip XLA recompiles (slow
+    # remote compile helpers make this load-bearing on tunneled TPUs).
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from . import io
     from .pipeline import setup, stem_setup
