@@ -150,15 +150,17 @@ def pad_atoms_per_slice(sliced: SlicedAtoms, dtype=np.float32):
     y = np.zeros((s, m), dtype)
     sp = np.zeros((s, m), np.int32)
     w = np.zeros((s, m), dtype)
-    fill = np.zeros(s, np.int64)
-    for a in range(sliced.x.shape[0]):
-        j = int(sliced.slice_idx[a])
-        k = fill[j]
-        x[j, k] = sliced.x[a]
-        y[j, k] = sliced.y[a]
-        sp[j, k] = sliced.species_idx[a]
-        w[j, k] = sliced.weight[a]
-        fill[j] += 1
+    # Vectorised group-fill (no per-atom Python loop — tomography-scale
+    # specimens have 1e6+ atoms): stable-sort by slice, then each atom's
+    # column is its rank within its slice.
+    order = np.argsort(sliced.slice_idx, kind="stable")
+    j = sliced.slice_idx[order]
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    k = np.arange(j.shape[0], dtype=np.int64) - starts[j]
+    x[j, k] = sliced.x[order]
+    y[j, k] = sliced.y[order]
+    sp[j, k] = sliced.species_idx[order]
+    w[j, k] = sliced.weight[order]
     return x, y, sp, w, m
 
 
