@@ -263,7 +263,7 @@ def config5(scale, step_kind):
     v_true = jnp.asarray(rng.normal(size=(s, n, n)).astype(np.float32) * 30.0)
     angs = np.linspace(0, 2 * np.pi, ntilt, endpoint=False)
     tilts = [(0.02 * np.cos(a), 0.02 * np.sin(a)) for a in angs]
-    psi0s = jnp.stack([f.plane_wave(grid, lam, t, dtype=jnp.complex64) for t in tilts])
+    psi0s = jnp.stack([f.plane_wave(grid, lam, dtype=jnp.complex64) for _ in tilts])
     props = jnp.stack(
         [
             jnp.asarray(host_cast(f.fresnel_propagator(grid, lam, 2.0, tilt_xy_rad=t), jnp.complex64))

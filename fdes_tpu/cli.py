@@ -79,7 +79,9 @@ def main(argv: list[str] | None = None) -> int:
 
     from .propagate import make_slice_step
 
-    slice_step = make_slice_step(cfg.sim.engine, shape=sim.grid.shape)
+    slice_step = make_slice_step(
+        cfg.sim.engine, shape=sim.grid.shape, dtype=sim.cdtype
+    )
 
     def phonon_stacks():
         """Potential stacks to average over: one (DWF) or many (frozen)."""
@@ -88,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         from .phonon import phonon_sliced
         from .potential import build_potential
 
-        return [
+        stacks = [
             build_potential(c, sim.grid, dtype=sim.rdtype)
             for c in phonon_sliced(
                 sim.specimen,
@@ -98,6 +100,13 @@ def main(argv: list[str] | None = None) -> int:
                 seed=cfg.seed,
             )
         ]
+        if cfg.sim.absorptive_factor > 0.0:
+            import jax.numpy as jnp
+
+            stacks = [
+                v + 1j * cfg.sim.absorptive_factor * jnp.abs(v) for v in stacks
+            ]
+        return stacks
 
     if cfg.mode == "forward":
         from .forward import exit_wave
@@ -148,18 +157,22 @@ def main(argv: list[str] | None = None) -> int:
     elif cfg.mode == "stem4d":
         from .forward import stem_raster_4d
 
-        stencil, qy, qx, positions, masks = stem_setup(sim)
-        cbed = stem_raster_4d(
-            sim.v_stack,
-            stencil,
-            qy,
-            qx,
-            positions,
-            sim.propagator,
-            sim.sigma,
-            probe_chunk=cfg.stem.probe_chunk or None,
-            slice_step=slice_step,
-        )
+        stencil, qy, qx, positions, _ = stem_setup(sim)
+        stacks = phonon_stacks()
+        cbed = sum(
+            stem_raster_4d(
+                v,
+                stencil,
+                qy,
+                qx,
+                positions,
+                sim.propagator,
+                sim.sigma,
+                probe_chunk=cfg.stem.probe_chunk or None,
+                slice_step=slice_step,
+            )
+            for v in stacks
+        ) / len(stacks)
         io.write_npy(
             out("cbed.npy"),
             np.asarray(cbed).reshape(
@@ -242,10 +255,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         io.write_npy(out("reconstructed.npy"), res.v)
         if jax.process_index() == 0:
-            print(
-                f"invert: {res.iterations} iters, final loss "
-                f"{res.losses[-1]:.6g}, {res.iterations / res.wall_s:.2f} it/s"
-            )
+            if res.losses.size:
+                print(
+                    f"invert: {res.iterations} iters, final loss "
+                    f"{res.losses[-1]:.6g}, "
+                    f"{len(res.losses) / max(res.wall_s, 1e-9):.2f} it/s"
+                )
+            else:
+                print("invert: checkpoint already at target iterations; "
+                      "nothing to do (raise recon.iterations to continue)")
     else:
         print(f"unknown mode {cfg.mode!r}", file=sys.stderr)
         return 2

@@ -90,6 +90,42 @@ def _transmit_bwd_kernel(
     dv_ref[:] = -sigma * (gr * tpi + gi * tpr)
 
 
+def _transmit_abs_fwd_kernel(
+    vr_ref, va_ref, pr_ref, pi_ref, or_ref, oi_ref, *, sigma
+):
+    phase = sigma * vr_ref[:]
+    damp = jnp.exp(-sigma * va_ref[:])
+    c = damp * jnp.cos(phase)
+    s = damp * jnp.sin(phase)
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    or_ref[:] = pr * c - pi * s
+    oi_ref[:] = pr * s + pi * c
+
+
+def _transmit_abs_bwd_kernel(
+    vr_ref, va_ref, pr_ref, pi_ref, gr_ref, gi_ref,
+    dr_ref, di_ref, dvr_ref, dva_ref, *, sigma
+):
+    phase = sigma * vr_ref[:]
+    damp = jnp.exp(-sigma * va_ref[:])
+    c = damp * jnp.cos(phase)
+    s = damp * jnp.sin(phase)
+    gr = gr_ref[:]
+    gi = gi_ref[:]
+    dr_ref[:] = gr * c - gi * s  # d_psi = g * t
+    di_ref[:] = gr * s + gi * c
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    tpr = pr * c - pi * s
+    tpi = pr * s + pi * c
+    # real-input projections (bilinear pairing, module doc):
+    # d_Vre = Re(g * i*sigma*t*psi) = -sigma*Im(g*t*psi)
+    dvr_ref[:] = -sigma * (gr * tpi + gi * tpr)
+    # d_Vabs = Re(g * (-sigma)*t*psi) = -sigma*Re(g*t*psi)
+    dva_ref[:] = -sigma * (gr * tpr - gi * tpi)
+
+
 def _cmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref, *, conj_b):
     ar = ar_ref[:]
     ai = ai_ref[:]
@@ -208,13 +244,74 @@ def _propmul_bwd(interpret, prop, g):
 propagator_multiply.defvjp(_propmul_fwd, _propmul_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_transmit_abs(psi, v_re, v_abs, sigma: float, interpret: bool | None = None):
+    """psi * exp(1j*sigma*v_re - sigma*v_abs): absorptive transmission."""
+    out_r, out_i = _transmit_abs_fwd(psi, v_re, v_abs, sigma, interpret)
+    return _complex(out_r, out_i)
+
+
+def _transmit_abs_fwd(psi, v_re, v_abs, sigma, interpret):
+    interpret = _resolve_interpret(interpret)
+    pr, pi = _planes(psi)
+    rdt = pr.dtype
+    grid, spec = _row_grid(v_re.shape)
+    return pl.pallas_call(
+        functools.partial(_transmit_abs_fwd_kernel, sigma=rdt.type(sigma)),
+        grid=grid,
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct(v_re.shape, rdt),
+            jax.ShapeDtypeStruct(v_re.shape, rdt),
+        ],
+        interpret=interpret,
+    )(v_re.astype(rdt), v_abs.astype(rdt), pr, pi)
+
+
+def _pallas_transmit_abs_fwd(psi, v_re, v_abs, sigma, interpret):
+    return pallas_transmit_abs(psi, v_re, v_abs, sigma, interpret), (
+        psi,
+        v_re,
+        v_abs,
+    )
+
+
+def _pallas_transmit_abs_bwd(sigma, interpret, res, g):
+    interpret = _resolve_interpret(interpret)
+    psi, v_re, v_abs = res
+    pr, pi = _planes(psi)
+    gr, gi = _planes(g)
+    rdt = pr.dtype
+    grid, spec = _row_grid(v_re.shape)
+    dr, di, dvr, dva = pl.pallas_call(
+        functools.partial(_transmit_abs_bwd_kernel, sigma=rdt.type(sigma)),
+        grid=grid,
+        in_specs=[spec] * 6,
+        out_specs=[spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct(v_re.shape, rdt)] * 4,
+        interpret=interpret,
+    )(v_re.astype(rdt), v_abs.astype(rdt), pr, pi, gr, gi)
+    return _complex(dr, di), dvr.astype(v_re.dtype), dva.astype(v_abs.dtype)
+
+
+pallas_transmit_abs.defvjp(_pallas_transmit_abs_fwd, _pallas_transmit_abs_bwd)
+
+
 def pallas_slice_step(psi, v_slice, propagator, sigma, *, interpret: bool | None = None):
     """Drop-in ``slice_step`` for propagate.multislice using Pallas stages.
 
     psi <- IFFT[ P * FFT[ exp(1j*sigma*V) * psi ] ] with both elementwise
-    stages as fused Pallas kernels and the FFTs in XLA.
+    stages as fused Pallas kernels and the FFTs in XLA.  Complex V routes
+    through the absorptive kernel (imaginary part = optical potential), the
+    same semantics as propagate.transmit.
     """
-    psi = pallas_transmit(psi, v_slice, sigma, interpret)
+    if jnp.iscomplexobj(v_slice):
+        psi = pallas_transmit_abs(
+            psi, v_slice.real, v_slice.imag, sigma, interpret
+        )
+    else:
+        psi = pallas_transmit(psi, v_slice, sigma, interpret)
     psi_hat = jnp.fft.fft2(psi)
     psi_hat = propagator_multiply(psi_hat, propagator.astype(psi_hat.dtype), interpret)
     return jnp.fft.ifft2(psi_hat)

@@ -65,8 +65,18 @@ def setup(cfg: Config) -> Sim:
     spec = load_specimen(cfg)
     fy = cfg.sim.fov_y_A or float(spec.box[1])
     fx = cfg.sim.fov_x_A or float(spec.box[0])
+    if fy <= 0 or fx <= 0:
+        raise ValueError(
+            "field of view is zero: set sim.fov_y_A/fov_x_A or specimen.box_A "
+            f"(got fov=({fy}, {fx}); atoms_path={cfg.specimen.atoms_path!r})"
+        )
     grid = Grid(ny=cfg.sim.ny, nx=cfg.sim.nx, py=fy / cfg.sim.ny, px=fx / cfg.sim.nx)
     dz = cfg.sim.dz_A or None
+    if dz is None and float(spec.box[2]) <= 0:
+        raise ValueError(
+            "slice thickness is zero: set sim.dz_A or a positive specimen "
+            "box_A[2]"
+        )
     sliced = slice_specimen(spec, cfg.sim.nslices, dz=dz)
 
     lam = constants.wavelength_A(cfg.sim.voltage_V)
@@ -114,8 +124,14 @@ def setup(cfg: Config) -> Sim:
     )
     psi0_stack = prop_stack = None
     if cfg.sim.tilt_series_rad:
+        # Specimen-tilt convention: the beam stays along z (untilted plane
+        # wave) and each tilt enters ONLY as the propagator shear term.
+        # Tilting the incident wave as well would put beam and specimen in
+        # the same tilted frame — the ramp and shear cancel exactly and the
+        # series degenerates (caught in review; the relative tilt is what
+        # carries the projection information).
         tilts = [tuple(t) for t in cfg.sim.tilt_series_rad]
-        psi0_stack = jnp.stack([plane_wave(grid, lam, t, dtype=cdt) for t in tilts])
+        psi0_stack = jnp.stack([plane_wave(grid, lam, dtype=cdt) for _ in tilts])
         prop_stack = jnp.stack(
             [
                 jnp.asarray(

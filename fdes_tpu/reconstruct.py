@@ -141,7 +141,22 @@ def reconstruct(
     opt_state = init_state(v0)
 
     start = 0
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+    ck_exists = bool(checkpoint_path and os.path.exists(checkpoint_path))
+    if resume and checkpoint_path and jax.process_count() > 1:
+        # Checkpoints are written by process 0; resuming requires ALL
+        # processes to see the same file (shared filesystem) or the SPMD
+        # step counts diverge and the per-step psum deadlocks.  Fail loudly
+        # instead (review finding).
+        import jax.experimental.multihost_utils as mhu
+
+        exists_p0 = bool(mhu.broadcast_one_to_all(np.int32(ck_exists)))
+        if exists_p0 != ck_exists:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_path!r} visible on process 0 but "
+                f"not on process {jax.process_index()} — put checkpoint_path "
+                "on storage shared by all hosts"
+            )
+    if resume and ck_exists:
         v_host, opt_host, start = load_checkpoint(checkpoint_path, v0, opt_state)
         v0 = jax.device_put(np.asarray(v_host, dtype=v0.dtype), v_sharding)
         opt_state = jax.tree.map(

@@ -116,10 +116,15 @@ def load_kirkland_table(path: str) -> ScatteringTable:
             vals: list[float] = []
             j = i + 1
             while j < len(lines) and len(vals) < 12:
+                toks = lines[j].split()
                 try:
-                    vals.extend(float(t) for t in lines[j].split())
+                    # parse the WHOLE line first: a partially-numeric line
+                    # (e.g. a chisq/comment row) must not leak its numeric
+                    # prefix into the parameter vector
+                    parsed = [float(t) for t in toks]
                 except ValueError:
                     break
+                vals.extend(parsed)
                 j += 1
             if len(vals) >= 12:
                 # fparams.dat column order is a1 b1 a2 b2 a3 b3 c1 d1 c2 d2 c3 d3

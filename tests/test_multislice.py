@@ -85,13 +85,27 @@ def test_remat_chunks_bitwise_equivalent(rng):
 def test_beam_tilt_plane_wave_phase_matches_golden():
     g = Grid(ny=32, nx=32, py=0.25, px=0.25)
     lam = wavelength_A(KV)
-    tilt = (1e-3, -2e-3)
+    # tilt quantum on this 8 Å field is lambda/L ~ 2.5 mrad; pick tilts
+    # that round to nonzero harmonics (k=1 and k=-2)
+    tilt = (3e-3, -5e-3)
     psi = np.asarray(plane_wave(g, lam, tilt, dtype=jnp.complex128))
     np.testing.assert_allclose(np.abs(psi), 1.0, atol=1e-12)
-    # phase gradient along x equals 2 pi tan(tx)/lambda
-    dphase = np.angle(psi[0, 1] / psi[0, 0])
+    # the ramp is QUANTIZED to the nearest grid harmonic k/L (a non-lattice
+    # ramp on a periodic grid injects wrap-around artifacts, see plane_wave
+    # docstring); phase step = 2*pi*k/n with k the nearest integer
+    ly, lx = g.extent
+    kx = np.round(np.tan(tilt[0]) / lam * lx)
+    ky = np.round(np.tan(tilt[1]) / lam * ly)
+    assert kx != 0 and ky != 0  # tilts large enough to be representable
     np.testing.assert_allclose(
-        dphase, 2 * np.pi * np.tan(tilt[0]) * g.px / lam, rtol=1e-9
+        np.angle(psi[0, 1] / psi[0, 0]), 2 * np.pi * kx / g.nx, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.angle(psi[1, 0] / psi[0, 0]), 2 * np.pi * ky / g.ny, rtol=1e-9
+    )
+    # quantized ramp is exactly periodic: no boundary discontinuity
+    np.testing.assert_allclose(
+        np.angle(psi[0, -1] * psi[0, 1] / psi[0, 0] ** 2), 0.0, atol=1e-9
     )
 
 

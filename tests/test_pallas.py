@@ -155,3 +155,29 @@ def test_mxu_fft_matrices_roundtrip():
         np.asarray(x),
         atol=1e-10,
     )
+
+
+def test_pallas_absorptive_transmit_matches_jnp(fields):
+    """Complex (absorptive) V through the pallas step == jnp path, fwd+grad."""
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_abs = jnp.abs(v) * 0.2
+    v_c = v + 1j * v_abs
+    from fdes_tpu.pallas.slice_step import pallas_slice_step as step
+
+    out_p = step(psi, v_c, prop, sigma, interpret=True)
+    out_j = default_slice_step(psi, v_c, prop, sigma)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j), atol=5e-6)
+
+    def loss_p(vr, va):
+        return jnp.sum(
+            jnp.abs(step(psi, vr + 1j * va, prop, sigma, interpret=True)) ** 2
+        )
+
+    def loss_j(vr, va):
+        return jnp.sum(jnp.abs(default_slice_step(psi, vr + 1j * va, prop, sigma)) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(v, v_abs)
+    gj = jax.grad(loss_j, argnums=(0, 1))(v, v_abs)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)

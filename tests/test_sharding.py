@@ -45,7 +45,7 @@ def tilt_problem():
     sigma = interaction_sigma(KV)
     v = jnp.asarray(rng.normal(size=(4, n, n)) * 20.0)
     tilts = [(1e-3 * i, -5e-4 * i) for i in range(8)]
-    psi0s = jnp.stack([plane_wave(grid, lam, t, dtype=jnp.complex128) for t in tilts])
+    psi0s = jnp.stack([plane_wave(grid, lam, dtype=jnp.complex128) for _ in tilts])
     props = jnp.stack(
         [jnp.asarray(fresnel_propagator(grid, lam, 1.8, tilt_xy_rad=t)) for t in tilts]
     )
