@@ -109,12 +109,24 @@ def main(argv: list[str] | None = None) -> int:
         return stacks
 
     if cfg.mode == "forward":
+        import jax.numpy as jnp
+
         from .forward import exit_wave
 
-        psi = exit_wave(
-            sim.psi0, sim.v_stack, sim.propagator, sim.sigma,
-            slice_step=slice_step,
-        )
+        if sim.psi0_stack is not None:
+            psi = jnp.stack(
+                [
+                    exit_wave(
+                        p0, sim.v_stack, pr, sim.sigma, slice_step=slice_step
+                    )
+                    for p0, pr in zip(sim.psi0_stack, sim.prop_stack)
+                ]
+            )
+        else:
+            psi = exit_wave(
+                sim.psi0, sim.v_stack, sim.propagator, sim.sigma,
+                slice_step=slice_step,
+            )
         io.write_npy(out("exit_wave.npy"), psi)
         io.write_npy(out("potential.npy"), sim.v_stack)
     elif cfg.mode == "hrtem":

@@ -26,7 +26,7 @@ def hrtem_series(psi_exit: jax.Array, ctf_stack: jax.Array) -> jax.Array:
 def apply_mtf(image: jax.Array, mtf: jax.Array) -> jax.Array:
     """Detector modulation-transfer function: real-space convolution as a
     Fourier multiply. mtf is a real (ny, nx) grid in fft layout."""
-    return jnp.fft.ifft2(jnp.fft.fft2(image) * mtf.astype(jnp.complex64).real).real
+    return jnp.fft.ifft2(jnp.fft.fft2(image) * mtf).real
 
 
 def gaussian_mtf(shape: tuple[int, int], sigma_px: float):
