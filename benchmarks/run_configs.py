@@ -67,8 +67,11 @@ def _sim(scale, n_full, s_full, n_ci=64, s_ci=8, reps=(4, 3, 3)):
     lam = f.wavelength_A(kv)
     sigma = f.interaction_sigma(kv)
     v = build_potential(sliced, grid, dtype=jnp.float32)
-    prop = jnp.asarray(host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64))
-    psi0 = f.plane_wave(grid, lam, dtype=jnp.complex64)
+    # prop/psi0 as HOST numpy: jitted closures embed them as literals; a
+    # device-array closure forces a trace-time device->host readback that
+    # remote TPU runtimes may not implement (see dft.py docstring)
+    prop = host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64)
+    psi0 = np.ones(grid.shape, np.complex64)
     return grid, sliced, kv, lam, sigma, v, prop, psi0
 
 
@@ -113,16 +116,15 @@ def config2(scale, step_kind):
 
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 64)
     defoci = np.linspace(-400, 400, 8)
-    ctfs = jnp.asarray(
-        host_cast(
-            f.ctf_series(grid, lam, defoci, f.Aberrations(cs=1.2e7), 20e-3),
-            jnp.complex64,
-        )
+    ctfs = host_cast(
+        f.ctf_series(grid, lam, defoci, f.Aberrations(cs=1.2e7), 20e-3),
+        jnp.complex64,
     )
     step = make_slice_step(step_kind, shape=grid.shape)
     fwd = jax.jit(
         lambda vv: f.hrtem_defocus_series(
-            vv, psi0, prop, sigma, ctfs, slice_step=step
+            vv, jnp.asarray(psi0), jnp.asarray(prop), sigma, jnp.asarray(ctfs),
+            slice_step=step,
         )
     )
     dt = _timeit(fwd, v, reps=10)
@@ -149,16 +151,19 @@ def config3(scale, step_kind):
 
     grid, sliced, kv, lam, sigma, v_true, prop, psi0 = _sim(scale, 512, 64)
     defoci = np.linspace(-400, 400, 8)
-    ctfs = jnp.asarray(
-        host_cast(
-            f.ctf_series(grid, lam, defoci, f.Aberrations(cs=1.2e7), 20e-3),
-            jnp.complex64,
-        )
+    ctfs = host_cast(
+        f.ctf_series(grid, lam, defoci, f.Aberrations(cs=1.2e7), 20e-3),
+        jnp.complex64,
     )
     chunk = pick_remat_chunk(sliced.nslices)
-    i_obs = f.hrtem_defocus_series(v_true, psi0, prop, sigma, ctfs)
+    i_obs = f.hrtem_defocus_series(
+        v_true, jnp.asarray(psi0), jnp.asarray(prop), sigma, jnp.asarray(ctfs)
+    )
     loss_fn = make_loss(
-        lambda v: f.hrtem_defocus_series(v, psi0, prop, sigma, ctfs, remat_chunk=chunk),
+        lambda v: f.hrtem_defocus_series(
+            v, jnp.asarray(psi0), jnp.asarray(prop), sigma, jnp.asarray(ctfs),
+            remat_chunk=chunk,
+        ),
         i_obs,
     )
     opt = optax.adam(5.0)
@@ -202,28 +207,27 @@ def config4(scale, step_kind):
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 128)
     nprobes = 4096 if scale == "full" else 32
     chunk = 64 if scale == "full" else 8
-    stencil = jnp.asarray(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
-    qy = jnp.asarray(host_cast(grid.qy()[:, None], jnp.float32))
-    qx = jnp.asarray(host_cast(grid.qx()[None, :], jnp.float32))
+    stencil = host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64)
+    qy = host_cast(grid.qy()[:, None], jnp.float32)
+    qx = host_cast(grid.qx()[None, :], jnp.float32)
     rng = np.random.default_rng(0)
     pos = jnp.asarray(
         (rng.random((nprobes, 2)) * np.array(grid.extent)).astype(np.float32)
     )
-    masks = jnp.asarray(
-        host_cast(
-            np.stack(
-                [
-                    annular_mask(grid, lam, 0.0, 20e-3),
-                    annular_mask(grid, lam, 50e-3, 200e-3),
-                ]
-            ),
-            jnp.float32,
-        )
+    masks = host_cast(
+        np.stack(
+            [
+                annular_mask(grid, lam, 0.0, 20e-3),
+                annular_mask(grid, lam, 50e-3, 200e-3),
+            ]
+        ),
+        jnp.float32,
     )
     step = make_slice_step(step_kind, shape=grid.shape)
     fwd = jax.jit(
         lambda vv, p: f.stem_raster(
-            vv, stencil, qy, qx, p, prop, sigma, masks, probe_chunk=chunk,
+            vv, jnp.asarray(stencil), jnp.asarray(qy), jnp.asarray(qx), p,
+            jnp.asarray(prop), sigma, jnp.asarray(masks), probe_chunk=chunk,
             slice_step=step,
         )
     )
@@ -270,11 +274,13 @@ def config5(scale, step_kind):
             for t in tilts
         ]
     )
-    ctf1 = jnp.asarray(host_cast(f.ctf_series(grid, lam, np.array([100.0]))[0], jnp.complex64))
+    ctf1 = host_cast(f.ctf_series(grid, lam, np.array([100.0]))[0], jnp.complex64)
     i_obs = f.hrtem_tilt_series(v_true, psi0s, props, sigma, ctf1)
 
     def loss_fn(v, psi0s, props, i_obs):
-        sim = f.hrtem_tilt_series(v, psi0s, props, sigma, ctf1, remat_chunk=None)
+        sim = f.hrtem_tilt_series(
+            v, psi0s, props, sigma, jnp.asarray(ctf1), remat_chunk=None
+        )
         return l2_mismatch(sim, i_obs)
 
     opt = optax.adam(1.0)
