@@ -75,14 +75,16 @@ def main() -> int:
     sigma = f.interaction_sigma(kv)
 
     v = build_potential(sliced, grid, dtype=jnp.float32)
-    # Host np constants (closed over below): np closures embed as literals;
-    # device-array closures would force a trace-time device->host readback.
-    prop = host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64)
-    stencil = host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64)
-    qy = host_cast(grid.qy()[:, None], jnp.float32)
-    qx = host_cast(grid.qx()[None, :], jnp.float32)
+    # Big arrays travel as jit ARGUMENTS (device_put once, reused): a
+    # device-array closure forces a trace-time device->host readback, and a
+    # multi-MB host-constant closure bloats the HLO payload (both
+    # pathological on remote-tunnel TPU runtimes).
+    prop = jax.device_put(host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64))
+    stencil = jax.device_put(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
+    qy = jax.device_put(host_cast(grid.qy()[:, None], jnp.float32))
+    qx = jax.device_put(host_cast(grid.qx()[None, :], jnp.float32))
     rng = np.random.default_rng(0)
-    pos = jnp.asarray(
+    pos = jax.device_put(
         (rng.random((nprobes, 2)) * np.array([grid.extent[0], grid.extent[1]])).astype(
             np.float32
         )
@@ -93,7 +95,7 @@ def main() -> int:
 
     slice_step = make_slice_step(os.environ.get("FDES_BENCH_STEP", "xla"))
 
-    def rollout_batch(v_stack, positions, carry):
+    def rollout_batch(v_stack, positions, carry, stencil, qy, qx, prop):
         # carry chains successive calls (output feeds input) so the timing
         # below cannot overlap calls, and the final scalar FETCH proves the
         # whole chain executed: block_until_ready alone is not a reliable
@@ -108,11 +110,11 @@ def main() -> int:
         return jnp.sum(jax.vmap(one)(positions))
 
     step = jax.jit(rollout_batch)
-    float(step(v, pos, jnp.float32(0.0)))  # compile + drain queue
+    float(step(v, pos, jnp.float32(0.0), stencil, qy, qx, prop))  # compile
     t0 = time.time()
     acc = jnp.float32(0.0)
     for _ in range(reps):
-        acc = step(v, pos, acc)
+        acc = step(v, pos, acc, stencil, qy, qx, prop)
     float(acc)  # fetch-synced end of timing window
     dt = (time.time() - t0) / reps
 
