@@ -19,6 +19,7 @@ from .forward import (
 from .grids import Grid, fresnel_propagator
 from .loss import l2_mismatch, make_loss, tikhonov, total_variation
 from .optics import Aberrations, aperture, chi, ctf, ctf_series, envelopes
+from .potential import build_potential, build_potential_exact
 from .probe import plane_wave, probe_from_stencil, probe_stencil
 from .phonon import phonon_average, phonon_configs, phonon_sliced
 from .propagate import make_slice_step, multislice, pick_remat_chunk, transmit
@@ -37,6 +38,8 @@ __all__ = [
     "SlicedAtoms",
     "Specimen",
     "aperture",
+    "build_potential",
+    "build_potential_exact",
     "chi",
     "ctf",
     "ctf_series",

@@ -135,6 +135,66 @@ def deltas_to_potential(
     return v.reshape(nchunk * slice_chunk, ny, nx)[:s]
 
 
+def build_potential_exact(
+    sliced: SlicedAtoms,
+    grid: Grid,
+    table: ScatteringTable | None = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """EXACT-phase projected potential as MXU matmuls (no interpolation).
+
+    The per-atom Fourier phase sum of §3.3,
+        F(q) = sum_a w_a exp(-2*pi*i*(qy*y_a + qx*x_a)),
+    is separable: with Ay[j,a] = exp(-2*pi*i*qy_j*y_a) and
+    Bx[a,k] = exp(-2*pi*i*x_a*qx_k) it is the dense product
+    Ay @ diag(w) @ Bx — two complex matmuls per slice/species that run on
+    the systolic array.  This removes the bilinear scatter's O((q*px)^2)
+    interpolation error entirely (the device-side equivalent of
+    golden_potential_exact) at O(atoms*N^2) MXU FLOPs; prefer it when
+    sub-pixel fidelity at high q matters more than build time, and the
+    default scatter+FFT builder when atoms >> N.
+
+    Phase note: the arguments q*r can reach 1e3 rad; they are reduced
+    mod 1 cycle in the working precision before the trig, so f32 phase
+    error stays ~1e-5 cycles instead of growing with |r|.
+    """
+    rdt = np.dtype(jnp.dtype(dtype).name)
+    cdt = jnp.complex64 if rdt == np.float32 else jnp.complex128
+    x, y, sp, w, m = pad_atoms_per_slice(sliced, rdt)
+    nsp = len(sliced.species)
+    ff = species_form_factors(grid.q2(), list(sliced.species), table).astype(rdt)
+    qy = grid.qy().astype(rdt)
+    qx = grid.qx().astype(rdt)
+    inv_area = 1.0 / grid.pixel_area
+
+    @functools.partial(jax.jit, static_argnames=("nsp",))
+    def run(x, y, sp, w, qy, qx, ff, *, nsp):
+        def ramp(prod):  # exp(-2*pi*i*prod), prod in cycles, range-reduced
+            frac = prod - jnp.round(prod)
+            ang = (-2.0 * np.pi) * frac
+            return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+        def one_slice(xs, ys, sps, ws):
+            ay = ramp(qy[:, None] * ys[None, :])  # (ny, M)
+            bx = ramp(xs[:, None] * qx[None, :])  # (M, nx)
+            wsp = (
+                (sps[None, :] == jnp.arange(nsp)[:, None]).astype(ay.real.dtype)
+                * ws[None, :]
+            )  # (nsp, M)
+            f = jnp.einsum(
+                "ym,sm,mx->syx", ay, wsp.astype(ay.dtype), bx
+            )  # per-species structure factors
+            vq = jnp.sum(f * ff.astype(ay.dtype), axis=0)
+            return jnp.fft.ifft2(vq).real * jnp.asarray(inv_area, ay.real.dtype)
+
+        return jax.vmap(one_slice)(x, y, sp, w)
+
+    return run(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(sp), jnp.asarray(w),
+        jnp.asarray(qy), jnp.asarray(qx), jnp.asarray(ff), nsp=nsp,
+    )
+
+
 def pad_atoms_per_slice(sliced: SlicedAtoms, dtype=np.float32):
     """Rearrange flat atoms into per-slice padded arrays (S, max_atoms).
 

@@ -144,3 +144,43 @@ def test_streamed_multislice_matches_precomputed(si110_small):
         pixel=(grid.py, grid.px), remat_chunk=4,
     )
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref), atol=1e-11)
+
+
+def test_exact_matmul_builder_matches_golden(si110_small):
+    """MXU exact-phase builder == golden exact-phase summation (f64)."""
+    import jax.numpy as jnp
+
+    from fdes_tpu.golden import golden_potential_exact
+    from fdes_tpu.potential import build_potential_exact
+
+    spec, grid, sliced = si110_small
+    v_mm = np.asarray(build_potential_exact(sliced, grid, dtype=jnp.float64))
+    v_gold = golden_potential_exact(sliced, grid)
+    rel = np.linalg.norm(v_mm - v_gold) / np.linalg.norm(v_gold)
+    assert rel < 1e-12, f"exact matmul builder rel-err {rel:.2e}"
+
+
+def test_exact_builder_beats_bilinear_at_high_q():
+    """The matmul builder removes the bilinear interpolation error.
+
+    Needs OFF-grid atoms: the Si[110] fixture's sites land almost exactly
+    on pixel centers of the 64-grid, where bilinear is accidentally exact.
+    """
+    import jax.numpy as jnp
+
+    from fdes_tpu.golden import golden_potential_exact
+    from fdes_tpu.potential import build_potential, build_potential_exact
+    from fdes_tpu.specimen import make_si110_supercell, slice_specimen
+
+    spec = make_si110_supercell(reps=(2, 2, 2), jitter=0.11, seed=5)
+    lx, ly, _ = spec.box
+    grid = Grid(ny=64, nx=64, py=ly / 64, px=lx / 64)
+    sliced = slice_specimen(spec, 8)
+    v_gold = golden_potential_exact(sliced, grid)
+    err_bilinear = np.linalg.norm(
+        np.asarray(build_potential(sliced, grid, dtype=jnp.float64)) - v_gold
+    )
+    err_exact = np.linalg.norm(
+        np.asarray(build_potential_exact(sliced, grid, dtype=jnp.float64)) - v_gold
+    )
+    assert err_exact < err_bilinear * 1e-4, (err_exact, err_bilinear)
