@@ -1,0 +1,94 @@
+"""Fetch-synced slice-step engine comparison on the real chip.
+
+Times xla / pallas / mxu rollouts at several grid sizes with the only
+trustworthy barrier on remote-tunnel TPUs: a scalar fetch at the end of a
+dependency chain (block_until_ready is not a reliable completion barrier
+there).  Appends one JSON line per measurement to
+benchmarks/results/tpu_steps.jsonl.
+
+Usage: python benchmarks/tpu_steps.py [kinds [sizes]]
+       e.g. python benchmarks/tpu_steps.py xla,pallas 256,512
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "results", "tpu_steps.jsonl"
+)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # env var alone loses to the ambient sitecustomize backend
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import fdes_tpu as f
+    from fdes_tpu.grids import Grid, host_cast
+    from fdes_tpu.propagate import make_slice_step, multislice
+
+    kinds = (sys.argv[1] if len(sys.argv) > 1 else "xla,pallas,mxu").split(",")
+    sizes = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "256,512").split(",")]
+    nslices = int(os.environ.get("FDES_STEPS_SLICES", "64"))
+    reps = int(os.environ.get("FDES_STEPS_REPS", "8"))
+
+    kv = 300e3
+    lam = f.wavelength_A(kv)
+    sigma = f.interaction_sigma(kv)
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+
+    for n in sizes:
+        grid = Grid(ny=n, nx=n, py=0.1, px=0.1)
+        v = jax.device_put(rng.normal(size=(nslices, n, n)).astype(np.float32) * 30.0)
+        prop = jax.device_put(
+            host_cast(f.fresnel_propagator(grid, lam, 2.0), jnp.complex64)
+        )
+        psi0 = jax.device_put(np.ones((n, n), np.complex64))
+        for kind in kinds:
+            step = make_slice_step(kind, shape=(n, n))
+            fn = jax.jit(
+                lambda p, vv, pr, st=step: multislice(p, vv, pr, sigma, slice_step=st)
+            )
+            t0 = time.time()
+            p = fn(psi0, v, prop)
+            # fetch a single element: completion barrier for the compile run
+            _ = np.asarray(jax.jit(lambda a: jnp.abs(a[0, 0]).reshape(1))(p))
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for _ in range(reps):
+                p = fn(p, v, prop)  # chained: output feeds input
+            _ = np.asarray(jax.jit(lambda a: jnp.abs(a[0, 0]).reshape(1))(p))
+            dt = (time.time() - t0) / reps
+            rec = {
+                "n": n,
+                "nslices": nslices,
+                "kind": kind,
+                "rollout_ms": round(dt * 1e3, 3),
+                "slice_props_per_s": round(nslices / dt, 1),
+                "compile_s": round(compile_s, 1),
+                "backend": jax.default_backend(),
+                "sync": "fetch",
+            }
+            print(json.dumps(rec), flush=True)
+            with open(RESULTS, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
