@@ -109,13 +109,27 @@ def main() -> int:
 
         return jnp.sum(jax.vmap(one)(positions))
 
+    def fetch(x, tries=30, wait_s=20.0):
+        # Device->host readback on tunneled TPU runtimes fails transiently
+        # with UNIMPLEMENTED while queued work drains; the computation
+        # itself is fine, so retry the fetch rather than the work.
+        import jax.errors
+
+        for i in range(tries):
+            try:
+                return float(x)
+            except jax.errors.JaxRuntimeError:
+                if i == tries - 1:
+                    raise
+                time.sleep(wait_s)
+
     step = jax.jit(rollout_batch)
-    float(step(v, pos, jnp.float32(0.0), stencil, qy, qx, prop))  # compile
+    fetch(step(v, pos, jnp.float32(0.0), stencil, qy, qx, prop))  # compile
     t0 = time.time()
     acc = jnp.float32(0.0)
     for _ in range(reps):
         acc = step(v, pos, acc, stencil, qy, qx, prop)
-    float(acc)  # fetch-synced end of timing window
+    fetch(acc)  # fetch-synced end of timing window
     dt = (time.time() - t0) / reps
 
     slice_props = nprobes * nslices / dt
