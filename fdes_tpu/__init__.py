@@ -18,7 +18,7 @@ from .forward import (
 )
 from .grids import Grid, fresnel_propagator
 from .loss import l2_mismatch, make_loss, tikhonov, total_variation
-from .optics import Aberrations, aperture, chi, ctf, ctf_series, envelopes
+from .optics import Aberrations, aperture, chi, ctf, ctf_series, ctf_traced, envelopes
 from .potential import build_potential, build_potential_exact
 from .probe import plane_wave, probe_from_stencil, probe_stencil
 from .phonon import phonon_average, phonon_configs, phonon_sliced
@@ -43,6 +43,7 @@ __all__ = [
     "chi",
     "ctf",
     "ctf_series",
+    "ctf_traced",
     "envelopes",
     "exit_wave",
     "fresnel_propagator",

@@ -102,6 +102,43 @@ def ctf(
     return amp * np.exp(-1j * chi(grid, wavelength_A, ab))
 
 
+def ctf_traced(
+    qy,
+    qx,
+    wavelength_A: float,
+    defocus,
+    cs=0.0,
+    c5=0.0,
+    a1=0.0,
+    a1_angle=0.0,
+    aperture_mask=None,
+):
+    """Differentiable CTF: aberration coefficients as TRACED jnp scalars.
+
+    The host-built `ctf`/`ctf_series` treat aberrations as constants; this
+    variant keeps (defocus, cs, c5, a1, a1_angle) inside the jaxpr so
+    `jax.grad` can refine the optics jointly with the potential (aberration
+    self-calibration — beyond the reference's scope, where aberrations are
+    fixed inputs).  qy, qx: broadcastable frequency grids (1/Å);
+    aperture_mask: optional fixed (ny, nx) amplitude (hard apertures are
+    not usefully differentiable).  Returns complex CTF(q) = A*exp(-1j*chi).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    q2 = qy * qy + qx * qx
+    lam = wavelength_A
+    phase = jnp.pi * lam * defocus * q2
+    phase = phase + 0.5 * jnp.pi * cs * lam**3 * q2 * q2
+    phase = phase + (jnp.pi / 3.0) * c5 * lam**5 * q2 * q2 * q2
+    phi = jnp.arctan2(qy, qx)
+    phase = phase + jnp.pi * lam * a1 * q2 * jnp.cos(2.0 * (phi - a1_angle))
+    out = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
+    if aperture_mask is not None:
+        out = out * aperture_mask.astype(out.dtype)
+    return out
+
+
 def ctf_series(
     grid: Grid,
     wavelength_A: float,

@@ -126,3 +126,52 @@ def test_slice_specimen_binning():
     # single species (Si, one B)
     assert sliced.species == ((14, 0.45),)
     assert np.all(sliced.species_idx == 0)
+
+
+def test_ctf_traced_matches_host_and_is_differentiable():
+    """Traced CTF == host-built CTF; gradients wrt aberrations flow, and a
+    tiny defocus-refinement problem recovers the true defocus."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdes_tpu.grids import Grid
+    from fdes_tpu.optics import Aberrations, ctf, ctf_traced
+
+    g = Grid(ny=32, nx=32, py=0.3, px=0.3)
+    lam = wavelength_A(300e3)
+    ab = Aberrations(defocus=150.0, cs=1.2e7, a1=30.0, a1_angle=0.4)
+    host = ctf(g, lam, ab)
+    qy = jnp.asarray(g.qy()[:, None])
+    qx = jnp.asarray(g.qx()[None, :])
+    traced = ctf_traced(
+        qy, qx, lam, 150.0, cs=1.2e7, a1=30.0, a1_angle=0.4
+    )
+    np.testing.assert_allclose(np.asarray(traced), host, atol=1e-12)
+
+    # defocus self-calibration: recover df from an image-intensity residual
+    rng = np.random.default_rng(0)
+    psi = jnp.asarray(rng.normal(size=g.shape) + 1j * rng.normal(size=g.shape))
+    df_true = 180.0
+
+    def image(df):
+        c = ctf_traced(qy, qx, lam, df, cs=1.2e7)
+        return jnp.abs(jnp.fft.ifft2(jnp.fft.fft2(psi) * c)) ** 2
+
+    i_obs = image(df_true)
+
+    def loss(df):
+        r = image(df) - i_obs
+        return jnp.sum(r * r)
+
+    # local refinement from a nearby guess (the CTF loss is oscillatory in
+    # defocus globally; self-calibration is a local polish in practice)
+    import optax
+
+    opt = optax.adam(1.0)
+    df = jnp.asarray(170.0)
+    st = opt.init(df)
+    for _ in range(300):
+        gr = jax.grad(loss)(df)
+        up, st = opt.update(gr, st)
+        df = optax.apply_updates(df, up)
+    assert abs(float(df) - df_true) < 0.5, f"defocus refinement landed at {df}"
