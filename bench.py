@@ -45,7 +45,10 @@ def _previous_round_value() -> float | None:
 
 def main() -> int:
     import jax
-    import jax.numpy as jnp
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # env var alone loses to the ambient sitecustomize TPU backend
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
@@ -56,6 +59,28 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+    # One transient tunnel failure must not zero out the round's number:
+    # retry the WHOLE measurement (fresh device arrays, fresh jit) a few
+    # times on runtime errors (readback UNIMPLEMENTED while the remote
+    # queue drains is transient; see fetch() below).
+    import jax.errors
+
+    attempts = int(os.environ.get("FDES_BENCH_ATTEMPTS", "3"))
+    for attempt in range(attempts):
+        try:
+            return _measure()
+        except jax.errors.JaxRuntimeError as e:
+            print(f"# bench attempt {attempt + 1}/{attempts} failed: {e}", file=sys.stderr)
+            if attempt == attempts - 1:
+                raise
+            time.sleep(90.0)
+    return 1
+
+
+def _measure() -> int:
+    import jax
+    import jax.numpy as jnp
 
     import fdes_tpu as f
     from fdes_tpu.grids import Grid, host_cast

@@ -57,6 +57,15 @@ class OpticsParams:
     c5_A: float = 0.0
     a1_A: float = 0.0
     a1_angle_rad: float = 0.0
+    # higher azimuthal orders (Krivanek set; optics.Aberrations docstring)
+    b2_A: float = 0.0
+    b2_angle_rad: float = 0.0
+    a2_A: float = 0.0
+    a2_angle_rad: float = 0.0
+    s3_A: float = 0.0
+    s3_angle_rad: float = 0.0
+    a3_A: float = 0.0
+    a3_angle_rad: float = 0.0
     aperture_rad: float = 0.0
     defocus_spread_A: float = 0.0
     source_semiangle_rad: float = 0.0

@@ -31,8 +31,18 @@ from .grids import Grid
 class Aberrations:
     """Axial aberration coefficients, all in Å except angles in rad.
 
-    defocus: C1 (Å).  cs: C3 / spherical (Å).  c5: fifth order (Å).
-    a1: twofold astigmatism magnitude (Å), a1_angle its azimuth (rad).
+    Rotationally symmetric: defocus C1, spherical cs=C3, fifth-order c5.
+    Azimuthal (Krivanek C_{n,m} set through third order, each a magnitude
+    in Å plus an azimuth in rad):
+
+        a1 twofold astigmatism (n=1,m=2)    b2 axial coma        (n=2,m=1)
+        a2 threefold astigmatism (n=2,m=3)  s3 star aberration   (n=3,m=2)
+        a3 fourfold astigmatism (n=3,m=4)
+
+    All enter chi via the standard expansion (see `chi`); the reference
+    models C1/C3/C5 + twofold astigmatism only (SURVEY.md Appendix A) — the
+    higher azimuthal orders are parity-plus coverage for corrected
+    instruments, zero by default so reference configs are unchanged.
     """
 
     defocus: float = 0.0
@@ -40,10 +50,23 @@ class Aberrations:
     c5: float = 0.0
     a1: float = 0.0
     a1_angle: float = 0.0
+    b2: float = 0.0
+    b2_angle: float = 0.0
+    a2: float = 0.0
+    a2_angle: float = 0.0
+    s3: float = 0.0
+    s3_angle: float = 0.0
+    a3: float = 0.0
+    a3_angle: float = 0.0
 
 
 def chi(grid: Grid, wavelength_A: float, ab: Aberrations) -> np.ndarray:
-    """Aberration phase chi(q) in rad, float64 (ny, nx)."""
+    """Aberration phase chi(q) in rad, float64 (ny, nx).
+
+    Krivanek convention: chi = (2*pi/lam) * sum_{n,m} C_{n,m} *
+    (lam*q)^{n+1}/(n+1) * cos(m*(phi - phi_{n,m})); the C1/C3/C5/A1 terms
+    below are algebraically identical to SURVEY.md Appendix A's form.
+    """
     qy, qx = grid.q_grids()
     q2 = qy * qy + qx * qx
     lam = wavelength_A
@@ -52,9 +75,28 @@ def chi(grid: Grid, wavelength_A: float, ab: Aberrations) -> np.ndarray:
         phase = phase + 0.5 * np.pi * ab.cs * lam**3 * q2 * q2
     if ab.c5:
         phase = phase + (np.pi / 3.0) * ab.c5 * lam**5 * q2 * q2 * q2
-    if ab.a1:
+    if ab.a1 or ab.b2 or ab.a2 or ab.s3 or ab.a3:
         phi = np.arctan2(qy, qx)
-        phase = phase + np.pi * lam * ab.a1 * q2 * np.cos(2.0 * (phi - ab.a1_angle))
+        if ab.a1:
+            phase = phase + np.pi * lam * ab.a1 * q2 * np.cos(2.0 * (phi - ab.a1_angle))
+        if ab.b2 or ab.a2:
+            q3 = q2 * np.sqrt(q2)
+            if ab.b2:
+                phase = phase + (2.0 * np.pi / 3.0) * lam**2 * ab.b2 * q3 * np.cos(
+                    phi - ab.b2_angle
+                )
+            if ab.a2:
+                phase = phase + (2.0 * np.pi / 3.0) * lam**2 * ab.a2 * q3 * np.cos(
+                    3.0 * (phi - ab.a2_angle)
+                )
+        if ab.s3:
+            phase = phase + 0.5 * np.pi * lam**3 * ab.s3 * q2 * q2 * np.cos(
+                2.0 * (phi - ab.s3_angle)
+            )
+        if ab.a3:
+            phase = phase + 0.5 * np.pi * lam**3 * ab.a3 * q2 * q2 * np.cos(
+                4.0 * (phi - ab.a3_angle)
+            )
     return phase
 
 
@@ -112,6 +154,14 @@ def ctf_traced(
     a1=0.0,
     a1_angle=0.0,
     aperture_mask=None,
+    b2=0.0,
+    b2_angle=0.0,
+    a2=0.0,
+    a2_angle=0.0,
+    s3=0.0,
+    s3_angle=0.0,
+    a3=0.0,
+    a3_angle=0.0,
 ):
     """Differentiable CTF: aberration coefficients as TRACED jnp scalars.
 
@@ -133,6 +183,17 @@ def ctf_traced(
     phase = phase + (jnp.pi / 3.0) * c5 * lam**5 * q2 * q2 * q2
     phi = jnp.arctan2(qy, qx)
     phase = phase + jnp.pi * lam * a1 * q2 * jnp.cos(2.0 * (phi - a1_angle))
+    q3 = q2 * jnp.sqrt(q2)
+    phase = phase + (2.0 * jnp.pi / 3.0) * lam**2 * b2 * q3 * jnp.cos(phi - b2_angle)
+    phase = phase + (2.0 * jnp.pi / 3.0) * lam**2 * a2 * q3 * jnp.cos(
+        3.0 * (phi - a2_angle)
+    )
+    phase = phase + 0.5 * jnp.pi * lam**3 * s3 * q2 * q2 * jnp.cos(
+        2.0 * (phi - s3_angle)
+    )
+    phase = phase + 0.5 * jnp.pi * lam**3 * a3 * q2 * q2 * jnp.cos(
+        4.0 * (phi - a3_angle)
+    )
     out = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
     if aperture_mask is not None:
         out = out * aperture_mask.astype(out.dtype)

@@ -107,6 +107,14 @@ def setup(cfg: Config) -> Sim:
         c5=cfg.optics.c5_A,
         a1=cfg.optics.a1_A,
         a1_angle=cfg.optics.a1_angle_rad,
+        b2=cfg.optics.b2_A,
+        b2_angle=cfg.optics.b2_angle_rad,
+        a2=cfg.optics.a2_A,
+        a2_angle=cfg.optics.a2_angle_rad,
+        s3=cfg.optics.s3_A,
+        s3_angle=cfg.optics.s3_angle_rad,
+        a3=cfg.optics.a3_A,
+        a3_angle=cfg.optics.a3_angle_rad,
     )
     ctfs = jnp.asarray(
         host_cast(

@@ -175,3 +175,74 @@ def test_ctf_traced_matches_host_and_is_differentiable():
         up, st = opt.update(gr, st)
         df = optax.apply_updates(df, up)
     assert abs(float(df) - df_true) < 0.5, f"defocus refinement landed at {df}"
+
+
+def test_higher_order_aberrations_symmetries():
+    """Krivanek azimuthal terms: m-fold rotational symmetry of chi, parity
+    under inversion (chi(-q) = (-1)^m chi(q) for a pure C_{n,m} term), and
+    scaling with q^{n+1}."""
+    from fdes_tpu.optics import Aberrations, chi
+
+    g = Grid(ny=64, nx=64, py=0.2, px=0.2)
+    lam = wavelength_A(300e3)
+    qy, qx = g.q_grids()
+    phi = np.arctan2(qy, qx)
+    q = np.sqrt(g.q2())
+
+    cases = [  # (kwargs, m, n)
+        (dict(b2=5e4, b2_angle=0.3), 1, 2),
+        (dict(a2=5e4, a2_angle=0.7), 3, 2),
+        (dict(s3=2e6, s3_angle=0.2), 2, 3),
+        (dict(a3=2e6, a3_angle=1.1), 4, 3),
+    ]
+    for kwargs, m, n in cases:
+        ab = Aberrations(**kwargs)
+        ph = chi(g, lam, ab)
+        # analytic reconstruction from the documented expansion
+        coeff = list(kwargs.values())[0]
+        ang = list(kwargs.values())[1]
+        expect = (
+            2.0 * np.pi / lam * coeff * (lam * q) ** (n + 1) / (n + 1)
+            * np.cos(m * (phi - ang))
+        )
+        np.testing.assert_allclose(ph, expect, atol=1e-9)
+        # m-fold symmetry: rotating the azimuth origin by 2*pi/m is invisible
+        ab_rot = Aberrations(**{**kwargs, list(kwargs)[1]: ang + 2 * np.pi / m})
+        np.testing.assert_allclose(chi(g, lam, ab_rot), ph, atol=1e-9)
+        # inversion parity: chi(-q) = (-1)^m chi(q) (cos(m(phi+pi-t)));
+        # fftfreq grids are not inversion-aligned, so check analytically
+        expect_inv = (
+            2.0 * np.pi / lam * coeff * (lam * q) ** (n + 1) / (n + 1)
+            * np.cos(m * (phi + np.pi - ang))
+        )
+        np.testing.assert_allclose(expect_inv, (-1) ** m * expect, atol=1e-9)
+
+
+def test_ctf_traced_higher_orders_match_host_and_differentiate():
+    import jax
+    import jax.numpy as jnp
+
+    from fdes_tpu.optics import Aberrations, ctf, ctf_traced
+
+    g = Grid(ny=32, nx=32, py=0.3, px=0.3)
+    lam = wavelength_A(300e3)
+    kw = dict(
+        defocus=120.0, cs=1.2e7, a1=30.0, a1_angle=0.4,
+        b2=4e4, b2_angle=0.2, a2=3e4, a2_angle=0.9,
+        s3=1.5e6, s3_angle=0.5, a3=1.1e6, a3_angle=1.3,
+    )
+    host = ctf(g, lam, Aberrations(**kw))
+    qy = jnp.asarray(g.qy()[:, None])
+    qx = jnp.asarray(g.qx()[None, :])
+    traced = ctf_traced(qy, qx, lam, **kw)
+    np.testing.assert_allclose(np.asarray(traced), host, atol=1e-12)
+
+    # gradients wrt every higher-order coefficient are finite and nonzero
+    def power(b2, a2, s3, a3):
+        c = ctf_traced(qy, qx, lam, 120.0, b2=b2, a2=a2, s3=s3, a3=a3)
+        w = jnp.fft.ifft2(c)
+        return jnp.sum(jnp.abs(w.real) ** 3)  # phase-sensitive probe
+
+    grads = jax.grad(power, argnums=(0, 1, 2, 3))(4e4, 3e4, 1.5e6, 1.1e6)
+    for gv in grads:
+        assert np.isfinite(float(gv)) and float(gv) != 0.0
