@@ -134,19 +134,7 @@ def _measure() -> int:
 
         return jnp.sum(jax.vmap(one)(positions))
 
-    def fetch(x, tries=30, wait_s=20.0):
-        # Device->host readback on tunneled TPU runtimes fails transiently
-        # with UNIMPLEMENTED while queued work drains; the computation
-        # itself is fine, so retry the fetch rather than the work.
-        import jax.errors
-
-        for i in range(tries):
-            try:
-                return float(x)
-            except jax.errors.JaxRuntimeError:
-                if i == tries - 1:
-                    raise
-                time.sleep(wait_s)
+    from fdes_tpu.profiling import fetch_scalar as fetch
 
     step = jax.jit(rollout_batch)
     fetch(step(v, pos, jnp.float32(0.0), stencil, qy, qx, prop))  # compile

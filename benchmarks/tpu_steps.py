@@ -39,6 +39,7 @@ def main():
 
     import fdes_tpu as f
     from fdes_tpu.grids import Grid, host_cast
+    from fdes_tpu.profiling import fetch_scalar
     from fdes_tpu.propagate import make_slice_step, multislice
 
     kinds = (sys.argv[1] if len(sys.argv) > 1 else "xla,pallas,mxu").split(",")
@@ -64,15 +65,16 @@ def main():
             fn = jax.jit(
                 lambda p, vv, pr, st=step: multislice(p, vv, pr, sigma, slice_step=st)
             )
+            pick = jax.jit(lambda a: jnp.abs(a[0, 0]).reshape(1))
             t0 = time.time()
             p = fn(psi0, v, prop)
             # fetch a single element: completion barrier for the compile run
-            _ = np.asarray(jax.jit(lambda a: jnp.abs(a[0, 0]).reshape(1))(p))
+            fetch_scalar(pick(p))
             compile_s = time.time() - t0
             t0 = time.time()
             for _ in range(reps):
                 p = fn(p, v, prop)  # chained: output feeds input
-            _ = np.asarray(jax.jit(lambda a: jnp.abs(a[0, 0]).reshape(1))(p))
+            fetch_scalar(pick(p))
             dt = (time.time() - t0) / reps
             rec = {
                 "n": n,

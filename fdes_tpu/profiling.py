@@ -54,3 +54,25 @@ class StepTimer:
     def mean_s(self) -> float:
         steady = self.times[1:] or self.times
         return sum(steady) / len(steady)
+
+
+def fetch_scalar(x, tries: int = 30, wait_s: float = 20.0) -> float:
+    """Device->host readback with retries (the honest sync barrier).
+
+    On remote-tunnel TPU runtimes `block_until_ready` is not a reliable
+    completion barrier and readback itself fails transiently with
+    UNIMPLEMENTED while queued work drains; the computation is fine, so
+    retry the FETCH, never the work (BASELINE.md timing methodology).
+    """
+    import numpy as np
+
+    import jax.errors
+
+    for i in range(tries):
+        try:
+            return float(np.asarray(x).reshape(-1)[0])
+        except jax.errors.JaxRuntimeError:
+            if i == tries - 1:
+                raise
+            time.sleep(wait_s)
+    raise RuntimeError("unreachable")
