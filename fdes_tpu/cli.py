@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
 
     import jax
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor an explicit CPU request even where a sitecustomize registers
+        # an ambient TPU backend (env var alone loses to it)
+        jax.config.update("jax_platforms", "cpu")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     # Persistent compile cache: repeated runs skip XLA recompiles (slow
@@ -219,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
         from .forward import hrtem_defocus_series, hrtem_tilt_series
         from .loss import make_loss
         from .propagate import pick_remat_chunk
-        from .reconstruct import make_optimizer, reconstruct
+        from .reconstruct import make_optimizer, positive_projection, reconstruct
 
         chunk = cfg.recon.remat_chunk or pick_remat_chunk(cfg.sim.nslices)
 
@@ -264,6 +268,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_every=cfg.recon.checkpoint_every,
             resume=cfg.recon.resume,
             metrics_path=cfg.recon.metrics_path or out("metrics.jsonl"),
+            project=positive_projection if cfg.recon.positivity else None,
         )
         io.write_npy(out("reconstructed.npy"), res.v)
         if jax.process_index() == 0:

@@ -100,6 +100,7 @@ class ReconParams:
     lr: float = 1.0
     l2_weight: float = 0.0
     tv_weight: float = 0.0
+    positivity: bool = False  # project V >= 0 after each update
     remat_chunk: int = 0  # 0 = auto (sqrt-S policy)
     checkpoint_path: str = ""
     checkpoint_every: int = 50

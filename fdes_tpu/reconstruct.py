@@ -62,6 +62,16 @@ def make_optimizer(
     return opts[name](lr, **kwargs)
 
 
+def positive_projection(v: jax.Array) -> jax.Array:
+    """Project the potential onto V >= 0 (elementwise; complex potentials
+    clip both channels — the absorptive part is nonnegative too)."""
+    if jnp.iscomplexobj(v):
+        return jax.lax.complex(
+            jnp.maximum(v.real, 0.0), jnp.maximum(v.imag, 0.0)
+        )
+    return jnp.maximum(v, 0.0)
+
+
 def save_checkpoint(path: str, v, opt_state, iteration: int) -> None:
     """Write the full optimization pytree as a flat .npz (host 0 only)."""
     if jax.process_index() != 0:
@@ -122,6 +132,7 @@ def reconstruct(
     metrics_path: str | None = None,
     callback: Callable[[int, float, jax.Array], None] | None = None,
     v_sharding: jax.sharding.Sharding | None = None,
+    project: Callable[[jax.Array], jax.Array] | None = None,
 ) -> ReconResult:
     """Gradient-descent reconstruction of the potential stack.
 
@@ -129,6 +140,12 @@ def reconstruct(
     observed data and forward model with loss.make_loss).  The step is one
     jitted program with V and opt_state donated, so steady-state iteration
     allocates nothing.
+
+    project: optional constraint projection applied to V after each update
+    (projected gradient descent), e.g. ``lambda v: jnp.maximum(v, 0.0)`` for
+    potential positivity.  Runs INSIDE the jitted step.  The reference has
+    no constraint support; positivity is the physically safe default for
+    projected potentials of neutral atoms when the observed series is noisy.
     """
     optimizer = optimizer or make_optimizer("adam", 1.0)
 
@@ -183,7 +200,10 @@ def reconstruct(
         updates, opt_state = opt.update(
             g, opt_state, v, value=loss, grad=g, value_fn=loss_fn
         )
-        return optax.apply_updates(v, updates), opt_state, loss, jnp.linalg.norm(g)
+        v = optax.apply_updates(v, updates)
+        if project is not None:
+            v = project(v)
+        return v, opt_state, loss, jnp.linalg.norm(g)
 
     metrics = MetricsWriter(metrics_path)
     losses: list[float] = []

@@ -187,3 +187,58 @@ def test_stem_4d_export_and_gradients(small_sim):
     g = jax.grad(loss)(v)
     assert g.shape == v.shape
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.linalg.norm(g)) > 0
+
+
+def test_segmented_masks_partition_annulus():
+    from fdes_tpu.detector import segmented_masks
+
+    grid = Grid(ny=64, nx=64, py=0.2, px=0.2)
+    lam = wavelength_A(KV)
+    segs = segmented_masks(grid, lam, 20e-3, 80e-3, nseg=4, rotation_rad=0.3)
+    assert segs.shape == (4, 64, 64)
+    ann = annular_mask(grid, lam, 20e-3, 80e-3)
+    # exact partition: segments are disjoint and cover the annulus
+    np.testing.assert_array_equal(segs.sum(axis=0), ann)
+    assert (segs.max(axis=0) <= 1.0).all()
+    # every segment is non-empty for a centred annulus
+    assert (segs.sum(axis=(1, 2)) > 0).all()
+
+
+def test_com_signal_reads_plane_wave_tilt():
+    from fdes_tpu.detector import com_signal
+
+    grid = Grid(ny=64, nx=64, py=0.2, px=0.2)
+    lam = wavelength_A(KV)
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+    # a plane wave exp(2*pi*i*(ky*y + kx*x)) has all diffracted power at
+    # (ky, kx): the first moment must read back exactly that frequency
+    ky, kx = grid.qy()[5], grid.qx()[9]
+    y = np.arange(64)[:, None] * 0.2
+    x = np.arange(64)[None, :] * 0.2
+    psi = jnp.asarray(np.exp(2j * np.pi * (ky * y + kx * x)).astype(np.complex64))
+    com = np.asarray(com_signal(psi, qy, qx))
+    np.testing.assert_allclose(com, [ky, kx], atol=1e-5)
+    # batch axis passes through
+    com2 = np.asarray(com_signal(jnp.stack([psi, psi]), qy, qx))
+    assert com2.shape == (2, 2)
+
+
+def test_com_signal_differentiable_wrt_potential(small_sim):
+    import jax
+
+    from fdes_tpu.detector import com_signal
+    from fdes_tpu.propagate import multislice
+
+    grid, sliced, v, lam, sigma, prop = small_sim
+    psi0 = plane_wave(grid, lam, dtype=jnp.complex128)
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+
+    def fy(vv):
+        psi = multislice(psi0, vv, prop, sigma)
+        return com_signal(psi, qy, qx)[0]
+
+    g = jax.grad(fy)(v)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0.0

@@ -338,3 +338,53 @@ def test_fault_injection_mid_run_then_resume(rng, tmp_path):
         loss_fn, jnp.zeros_like(v_true), iterations=40, optimizer=opt
     )
     np.testing.assert_allclose(res_resumed.v, res_full.v, rtol=1e-10, atol=1e-12)
+
+
+def test_positivity_projection_keeps_v_nonnegative(rng):
+    """Projected gradient with V>=0: iterates stay in the feasible set and
+    the data residual still falls (reconstruct(project=...))."""
+    import jax
+
+    from fdes_tpu.forward import hrtem_defocus_series
+    from fdes_tpu.grids import Grid, fresnel_propagator, host_cast
+    from fdes_tpu.loss import make_loss
+    from fdes_tpu.optics import ctf_series
+    from fdes_tpu.probe import plane_wave
+    from fdes_tpu.reconstruct import (
+        make_optimizer,
+        positive_projection,
+        reconstruct,
+    )
+
+    kv = 300e3
+    lam = wavelength_A(kv)
+    sigma = interaction_sigma(kv)
+    grid = Grid(ny=32, nx=32, py=0.25, px=0.25)
+    nsl = 3
+    v_true = jnp.asarray(np.abs(rng.normal(size=(nsl, 32, 32))).astype(np.float32) * 40.0)
+    prop = jnp.asarray(host_cast(fresnel_propagator(grid, lam, 6.0), jnp.complex64))
+    psi0 = plane_wave(grid, lam, dtype=jnp.complex64)
+    ctfs = jnp.asarray(host_cast(
+        ctf_series(grid, lam, np.array([-120.0, 0.0, 120.0])), jnp.complex64
+    ))
+
+    def fwd(v):
+        return hrtem_defocus_series(v, psi0, prop, sigma, ctfs)
+
+    i_obs = fwd(v_true)
+    seen_min = []
+
+    res = reconstruct(
+        make_loss(fwd, i_obs),
+        jnp.zeros_like(v_true),
+        iterations=40,
+        optimizer=make_optimizer("lbfgs"),
+        project=positive_projection,
+        callback=lambda it, loss, v: seen_min.append(float(v.min())),
+    )
+    assert min(seen_min) >= 0.0, f"iterate left the feasible set: {min(seen_min)}"
+    assert res.losses[-1] < res.losses[0] * 1e-3
+    # complex-potential branch clips both channels
+    vc = jnp.asarray(np.array([[-1.0 + 1.0j, 2.0 - 3.0j]], np.complex64))
+    out = np.asarray(positive_projection(vc))
+    np.testing.assert_allclose(out, [[0.0 + 1.0j, 2.0 + 0.0j]])
