@@ -68,8 +68,10 @@ def main():
             pick = jax.jit(lambda a: jnp.abs(a[0, 0]).reshape(1))
             t0 = time.time()
             p = fn(psi0, v, prop)
-            # fetch a single element: completion barrier for the compile run
-            fetch_scalar(pick(p))
+            # fetch a single element: completion barrier for the compile run.
+            # Remote compiles can take 15-20+ min during which readback keeps
+            # erroring, so this barrier gets a much larger retry budget.
+            fetch_scalar(pick(p), tries=120, wait_s=20.0)
             compile_s = time.time() - t0
             t0 = time.time()
             for _ in range(reps):

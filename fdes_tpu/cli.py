@@ -217,6 +217,27 @@ def main(argv: list[str] | None = None) -> int:
         ) / len(stacks)
         raster = np.asarray(sig).reshape(-1, cfg.stem.scan_ny, cfg.stem.scan_nx)
         io.write_npy(out("stem.npy"), raster)
+        if cfg.stem.compute_com:
+            from .forward import stem_com_raster
+
+            com = sum(
+                stem_com_raster(
+                    v,
+                    stencil,
+                    qy,
+                    qx,
+                    positions,
+                    sim.propagator,
+                    sim.sigma,
+                    probe_chunk=cfg.stem.probe_chunk or None,
+                    slice_step=slice_step,
+                )
+                for v in stacks
+            ) / len(stacks)
+            io.write_npy(
+                out("stem_com.npy"),
+                np.asarray(com).reshape(cfg.stem.scan_ny, cfg.stem.scan_nx, 2),
+            )
     elif cfg.mode == "invert":
         import jax.numpy as jnp
 

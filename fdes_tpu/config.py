@@ -81,6 +81,8 @@ class StemParams:
     scan_ly_A: float = 0.0  # 0 = full field of view
     scan_lx_A: float = 0.0
     detectors: tuple[tuple[float, float], ...] = ((50e-3, 200e-3),)  # (inner, outer) rad
+    dpc_nseg: int = 0  # >0: segment detectors[0] into this many DPC sectors
+    compute_com: bool = False  # also record the iCOM first-moment raster
     probe_chunk: int = 0  # 0 = no chunking
 
 

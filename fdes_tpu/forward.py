@@ -178,3 +178,44 @@ def stem_raster_4d(
     chunks = positions_yx.reshape(npos // probe_chunk, probe_chunk, 2)
     out = jax.lax.map(jax.vmap(one), chunks)
     return out.reshape(npos, *out.shape[2:])
+
+
+def stem_com_raster(
+    v_stack: jax.Array,
+    stencil: jax.Array,
+    qy: jax.Array,
+    qx: jax.Array,
+    positions_yx: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    *,
+    probe_chunk: int | None = None,
+    remat_chunk: int | None = None,
+    slice_step: Callable[..., jax.Array] | None = None,
+) -> jax.Array:
+    """iCOM raster: first moment (<q_y>, <q_x>) per probe, (npos, 2).
+
+    Same rollout batch as stem_raster with detector.com_signal as the
+    readout — the differentiable forward model for first-moment/DPC STEM
+    (beyond the reference's annular-only detector, SURVEY.md C11).
+    """
+    from .detector import com_signal
+
+    cdt = stencil.dtype
+
+    def one(pos):
+        psi0 = probe_from_stencil(stencil, qy, qx, pos, dtype=cdt)
+        psi = multislice(
+            psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk,
+            slice_step=slice_step,
+        )
+        return com_signal(psi, qy, qx)  # (2,)
+
+    npos = positions_yx.shape[0]
+    if probe_chunk is None or probe_chunk >= npos:
+        return jax.vmap(one)(positions_yx)
+    if npos % probe_chunk != 0:
+        raise ValueError(f"probe_chunk {probe_chunk} must divide npos {npos}")
+    chunks = positions_yx.reshape(npos // probe_chunk, probe_chunk, 2)
+    out = jax.lax.map(jax.vmap(one), chunks)
+    return out.reshape(npos, 2)

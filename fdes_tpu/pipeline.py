@@ -192,7 +192,15 @@ def stem_setup(sim: Sim):
     positions = jnp.asarray(
         host_cast(np.stack([gy.ravel(), gx.ravel()], axis=-1), sim.rdtype)
     )
-    masks = np.stack(
-        [annular_mask(sim.grid, sim.wavelength_A, i, o) for i, o in st.detectors]
-    )
+    mask_list = [annular_mask(sim.grid, sim.wavelength_A, i, o) for i, o in st.detectors]
+    if st.dpc_nseg > 0:
+        from .detector import segmented_masks
+
+        inner, outer = st.detectors[0]
+        mask_list.extend(
+            segmented_masks(
+                sim.grid, sim.wavelength_A, inner, outer, nseg=st.dpc_nseg
+            )
+        )
+    masks = np.stack(mask_list)
     return stencil, qy, qx, positions, jnp.asarray(host_cast(masks, sim.rdtype))

@@ -242,3 +242,25 @@ def test_com_signal_differentiable_wrt_potential(small_sim):
     g = jax.grad(fy)(v)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_stem_com_raster_chunked_matches_unchunked(small_sim):
+    from fdes_tpu.forward import stem_com_raster
+    from fdes_tpu.probe import probe_stencil
+
+    grid, sliced, v, lam, sigma, prop, *_ = small_sim
+    stencil = jnp.asarray(probe_stencil(grid, lam, 25e-3))
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+    pos = jnp.asarray(
+        np.array([[2.0, 2.0], [3.0, 5.0], [6.0, 1.0], [4.0, 4.0]])
+    )
+    full = np.asarray(
+        stem_com_raster(v, stencil, qy, qx, pos, prop, sigma)
+    )
+    chunked = np.asarray(
+        stem_com_raster(v, stencil, qy, qx, pos, prop, sigma, probe_chunk=2)
+    )
+    assert full.shape == (4, 2)
+    np.testing.assert_allclose(full, chunked, rtol=1e-6, atol=1e-9)
+    assert np.isfinite(full).all()

@@ -215,3 +215,21 @@ def test_cli_tilt_series_invert_and_stem4d(tmp_path):
     cbed = np.load(tmp_path / "out" / "cbed.npy")
     assert cbed.shape == (2, 2, 32, 32)
     assert np.all(np.isfinite(cbed))
+
+
+def test_cli_stem_dpc_and_com(tmp_path):
+    """STEM mode with segmented DPC detectors + iCOM raster output."""
+    cfg = _write_small_cfg(tmp_path, "stem")
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg),
+         "--set", "stem.dpc_nseg=4", "--set", "stem.compute_com=true"],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stem = np.load(tmp_path / "out" / "stem.npy")
+    assert stem.shape == (1 + 4, 2, 2)  # annular + 4 DPC sectors
+    # DPC sectors partition the annulus: their sum equals the full annular
+    # signal of the same (inner, outer) range
+    np.testing.assert_allclose(stem[1:].sum(axis=0), stem[0], rtol=1e-5)
+    com = np.load(tmp_path / "out" / "stem_com.npy")
+    assert com.shape == (2, 2, 2) and np.isfinite(com).all()
