@@ -388,3 +388,44 @@ def test_positivity_projection_keeps_v_nonnegative(rng):
     vc = jnp.asarray(np.array([[-1.0 + 1.0j, 2.0 - 3.0j]], np.complex64))
     out = np.asarray(positive_projection(vc))
     np.testing.assert_allclose(out, [[0.0 + 1.0j, 2.0 + 0.0j]])
+
+
+def test_4dstem_ptychographic_recovery(rng):
+    """Inverse from 4D-STEM data: recover the potential from CBED stacks at
+    a few probe positions (the ptychography-style modality; the reference's
+    inverse consumes only integrated images, SURVEY.md §3.2)."""
+    from fdes_tpu.forward import stem_raster_4d
+    from fdes_tpu.probe import probe_stencil
+
+    n, s = 24, 2
+    grid = Grid(ny=n, nx=n, py=0.35, px=0.35)
+    lam = wavelength_A(KV)
+    sigma = interaction_sigma(KV)
+    prop = jnp.asarray(fresnel_propagator(grid, lam, 2.0))
+    stencil = jnp.asarray(probe_stencil(grid, lam, 40e-3))
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+    # overlapping 3x3 raster: overlap is what makes ptychography well-posed
+    ys = np.linspace(2.0, n * 0.35 - 2.0, 3)
+    pos = jnp.asarray(
+        np.stack(np.meshgrid(ys, ys, indexing="ij"), -1).reshape(-1, 2)
+    )
+    v_true = jnp.asarray(rng.normal(size=(s, n, n)) * 25.0)
+
+    def fwd(v):
+        return stem_raster_4d(v, stencil, qy, qx, pos, prop, sigma)
+
+    i_obs = fwd(v_true)
+
+    res = reconstruct(
+        make_loss(fwd, i_obs),
+        jnp.zeros_like(v_true),
+        iterations=150,
+        optimizer=make_optimizer("lbfgs"),
+    )
+    # data residual collapses (the potential itself is only determined up to
+    # the probe's support/overlap, so gate the fit, not pointwise V)
+    assert res.losses[-1] < res.losses[0] * 1e-3, res.losses[-1]
+    sim = np.asarray(fwd(jnp.asarray(res.v)))
+    rel = np.linalg.norm(sim - np.asarray(i_obs)) / np.linalg.norm(np.asarray(i_obs))
+    assert rel < 1e-3, rel
