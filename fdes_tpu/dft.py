@@ -11,10 +11,16 @@ absorb.  Which backend wins is measured per grid size on hardware
 (benchmarks/run_configs.py --step mxu vs xla); propagate.make_slice_step
 ships the winner.
 
-Precision: matmuls run in f32 with f32 accumulation (complex64 matmul
-lowers to real MXU ops; bf16 would break the 1e-5 exit-wave gate).  The
-N-term dot accumulates ~sqrt(N)*eps_f32 ~ 5e-6 relative at N=2048 —
-same order as the c64 FFT itself.
+Precision: on TPU a f32 matmul's PRECISION IS A CHOICE — the MXU natively
+multiplies bf16 and emulates f32 operands with 1/3/6 bf16 passes
+(``jax.lax.Precision`` DEFAULT/HIGH/HIGHEST).  DEFAULT (one pass, ~3e-3
+per-op rounding) breaks the 1e-5 exit-wave gate outright, so it is not
+offered.  ``make_mxu_slice_step`` pins HIGHEST by default (true-f32
+operands + f32 accumulation: the N-term dot accumulates ~sqrt(N)*eps_f32 ~
+5e-6 relative at N=2048 — same order as the c64 FFT itself); callers can
+drop to HIGH (bf16x3, ~2x fewer MXU passes, ~5e-7 per-op) where a ~1e-5
+exit-wave error is acceptable — exposed as the ``mxu_fast`` engine kind in
+propagate.make_slice_step and benchmark-selected like every other engine.
 
 Matrices are O(N^2) constants per axis length — 2048^2 c64 is 32 MiB,
 built once per grid and reused by every slice of every rollout.
@@ -60,24 +66,29 @@ def dft_matrices(ny: int, nx: int, dtype=jnp.complex64):
     return (fy, fx), (fy_i, fx_i)
 
 
-def fft2_mm(x, fy, fx) -> jax.Array:
+def fft2_mm(x, fy, fx, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """fft2(x) as Fy @ x @ Fx^T (leading batch dims broadcast)."""
     # Fx is symmetric (F^T = F) but the explicit transpose documents intent
     # and costs nothing under XLA.
-    return jnp.matmul(fy, jnp.matmul(x, fx.T))
+    return jnp.matmul(fy, jnp.matmul(x, fx.T, precision=precision), precision=precision)
 
 
-def ifft2_mm(x, fy_i, fx_i) -> jax.Array:
+def ifft2_mm(x, fy_i, fx_i, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """ifft2(x) as Fy_inv @ x @ Fx_inv^T."""
-    return jnp.matmul(fy_i, jnp.matmul(x, fx_i.T))
+    return jnp.matmul(
+        fy_i, jnp.matmul(x, fx_i.T, precision=precision), precision=precision
+    )
 
 
-def make_mxu_slice_step(ny: int, nx: int, dtype=jnp.complex64):
+def make_mxu_slice_step(
+    ny: int, nx: int, dtype=jnp.complex64, precision=jax.lax.Precision.HIGHEST
+):
     """A propagate.multislice ``slice_step`` using MXU matmul FFTs.
 
     psi <- IDFT[ P * DFT[ exp(1j*sigma*V) * psi ] ] with both transforms as
     dense matmuls; the elementwise stages stay jnp (XLA fuses them into the
-    matmul epilogues).
+    matmul epilogues).  ``precision`` selects the MXU bf16-pass emulation
+    tier for the f32 operands (module docstring); HIGHEST = true f32.
     """
     (fy, fx), (fy_i, fx_i) = dft_matrices(ny, nx, dtype)
 
@@ -85,8 +96,8 @@ def make_mxu_slice_step(ny: int, nx: int, dtype=jnp.complex64):
         from .propagate import transmit
 
         psi = transmit(psi, v_slice, sigma)
-        psi_hat = fft2_mm(psi, fy, fx)
+        psi_hat = fft2_mm(psi, fy, fx, precision)
         psi_hat = psi_hat * propagator.astype(psi_hat.dtype)
-        return ifft2_mm(psi_hat, fy_i, fx_i)
+        return ifft2_mm(psi_hat, fy_i, fx_i, precision)
 
     return step

@@ -110,9 +110,13 @@ def make_slice_step(
     """Select the slice-step implementation (benchmark-selected per grid
     size — see benchmarks/run_configs.py):
 
-    'xla'    — jnp ops, compiler-fused elementwise + VPU FFT (default);
-    'pallas' — explicit fused VMEM kernels around the XLA FFT (M6);
-    'mxu'    — DFT-as-matmul on the systolic array (dft.py; needs shape).
+    'xla'      — jnp ops, compiler-fused elementwise + VPU FFT (default);
+    'pallas'   — explicit fused VMEM kernels around the XLA FFT (M6);
+    'mxu'      — DFT-as-matmul on the systolic array, true-f32 operands
+                 (Precision.HIGHEST bf16x6 emulation; dft.py; needs shape);
+    'mxu_fast' — same at Precision.HIGH (bf16x3): ~2x fewer MXU passes,
+                 ~5e-7 per-op rounding — for workloads where ~1e-5
+                 exit-wave error is acceptable (dft.py docstring).
     """
     if kind == "xla":
         return None  # multislice default
@@ -120,12 +124,17 @@ def make_slice_step(
         from .pallas.slice_step import pallas_slice_step
 
         return pallas_slice_step
-    if kind == "mxu":
+    if kind in ("mxu", "mxu_fast"):
         if shape is None:
-            raise ValueError("kind='mxu' needs shape=(ny, nx)")
+            raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
         from .dft import make_mxu_slice_step
 
-        return make_mxu_slice_step(*shape, dtype=dtype or jnp.complex64)
+        precision = (
+            jax.lax.Precision.HIGH if kind == "mxu_fast" else jax.lax.Precision.HIGHEST
+        )
+        return make_mxu_slice_step(
+            *shape, dtype=dtype or jnp.complex64, precision=precision
+        )
     raise ValueError(f"unknown slice-step kind {kind!r}")
 
 

@@ -137,6 +137,20 @@ def test_mxu_matmul_fft_step_matches(fields):
     np.testing.assert_allclose(np.asarray(gm), np.asarray(gj), rtol=5e-3, atol=5e-3)
 
 
+def test_mxu_fast_step_matches(fields):
+    """'mxu_fast' (Precision.HIGH bf16x3 on TPU; plain f32 on CPU) resolves
+    and matches the FFT step on CPU; its TPU accuracy bound is documented in
+    dft.py and measured on-chip by benchmarks/tpu_steps.py."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    step = make_slice_step("mxu_fast", shape=psi.shape, dtype=psi.dtype)
+    out_m = multislice(psi, jnp.stack([v]), prop, sigma, slice_step=step)
+    out_j = multislice(psi, jnp.stack([v]), prop, sigma)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_j), atol=1e-4)
+
+
 def test_mxu_fft_matrices_roundtrip():
     from fdes_tpu.dft import dft_matrices, fft2_mm, ifft2_mm
 
