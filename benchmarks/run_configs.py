@@ -2,13 +2,22 @@
 
 Usage:
     python benchmarks/run_configs.py [--configs 1,2,3,4] [--scale full|ci]
-                                     [--step xla|pallas|both]
+                                     [--step xla|pallas|mxu|mxu_fast|all|both]
 
 Each config reports the BASELINE.md headline metrics (slice-props/s/chip,
 reconstruction iters/s, exit-wave rel-err, scaling efficiency) plus
 workload metadata into one JSON file per run.  --scale ci shrinks grids so
 the harness itself is testable on CPU; numbers that gate acceptance come
 from --scale full on TPU hardware.
+
+Timing methodology (BASELINE.md): on remote-tunnel TPU runtimes
+``block_until_ready`` is NOT a reliable completion barrier, so every timed
+window here is (a) CHAINED — each call's output feeds the next call's
+input through a scalar carry, so calls cannot overlap — and (b) closed by
+a scalar device->host FETCH (profiling.fetch_scalar) whose completion
+proves the whole chain executed.  Big arrays travel as jit ARGUMENTS
+(device_put once), never as closures: a device-array closure forces a
+trace-time readback and a multi-MB host closure bloats the HLO payload.
 
 Config 5 (pod scale) runs on however many devices are visible: on a pod it
 is the real multi-host measurement; on one chip/CPU it degrades to a
@@ -31,26 +40,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 
 
-def _timeit(fn, *args, reps=5):
-    """Compile once, then steady-state mean seconds per call."""
-    out = fn(*args)
-    jax_block(out)
+def _chained_timeit(step, args, reps, compile_tries=120):
+    """Steady-state seconds/call of jitted ``step(carry, *args) -> carry``.
+
+    carry is a f32 scalar the step must fold into its inputs (e.g.
+    ``x * (1 + carry * 1e-30)``) and produce from its outputs (e.g.
+    ``jnp.sum(|out|^2)``) so the timing chain is a real data dependency.
+    Returns (seconds_per_call, compile_seconds).
+    """
+    import jax.numpy as jnp
+
+    from fdes_tpu.profiling import fetch_scalar
+
     t0 = time.time()
+    acc = step(jnp.float32(0.0), *args)
+    # Remote compiles can take 15-20+ min during which readback keeps
+    # erroring; give the compile barrier a much larger retry budget.
+    fetch_scalar(acc, tries=compile_tries, wait_s=20.0)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    acc = jnp.float32(0.0)
     for _ in range(reps):
-        out = fn(*args)
-    jax_block(out)
-    return (time.time() - t0) / reps
-
-
-def jax_block(x):
-    import jax
-
-    jax.tree.map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, x
-    )
+        acc = step(acc, *args)
+    fetch_scalar(acc)
+    return (time.time() - t0) / reps, compile_s
 
 
 def _sim(scale, n_full, s_full, n_ci=64, s_ci=8, reps=(4, 3, 3)):
+    import jax
     import jax.numpy as jnp
 
     import fdes_tpu as f
@@ -67,11 +84,10 @@ def _sim(scale, n_full, s_full, n_ci=64, s_ci=8, reps=(4, 3, 3)):
     lam = f.wavelength_A(kv)
     sigma = f.interaction_sigma(kv)
     v = build_potential(sliced, grid, dtype=jnp.float32)
-    # prop/psi0 as HOST numpy: jitted closures embed them as literals; a
-    # device-array closure forces a trace-time device->host readback that
-    # remote TPU runtimes may not implement (see dft.py docstring)
-    prop = host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64)
-    psi0 = np.ones(grid.shape, np.complex64)
+    prop = jax.device_put(
+        host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64)
+    )
+    psi0 = jax.device_put(np.ones(grid.shape, np.complex64))
     return grid, sliced, kv, lam, sigma, v, prop, psi0
 
 
@@ -82,13 +98,22 @@ def config1(scale, step_kind):
 
     import fdes_tpu as f
     from fdes_tpu.golden import golden_multislice, golden_potential_bilinear
+    from fdes_tpu.profiling import fetch_array
     from fdes_tpu.propagate import make_slice_step
 
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 256, 16)
     step = make_slice_step(step_kind, shape=grid.shape)
-    fwd = jax.jit(lambda p0, vv: f.multislice(p0, vv, prop, sigma, slice_step=step))
-    dt = _timeit(fwd, psi0, v, reps=10)
-    psi = np.asarray(fwd(psi0, v), np.complex128)
+    fwd = jax.jit(
+        lambda p0, vv, pr: f.multislice(p0, vv, pr, sigma, slice_step=step)
+    )
+    timed = jax.jit(
+        lambda c, p0, vv, pr: jnp.sum(
+            jnp.abs(f.multislice(p0 * (1 + c * 1e-30), vv, pr, sigma, slice_step=step))
+            ** 2
+        )
+    )
+    dt, compile_s = _chained_timeit(timed, (psi0, v, prop), reps=10)
+    psi = fetch_array(fwd(psi0, v, prop)).astype(np.complex128)
 
     vg = golden_potential_bilinear(sliced, grid)
     psig = golden_multislice(
@@ -97,12 +122,30 @@ def config1(scale, step_kind):
     rel = float(np.linalg.norm(psi - psig) / np.linalg.norm(psig))
     return {
         "exit_wave_rel_err": rel,
-        "gate_rel_err": 1e-4 if scale == "ci" else 1e-4,  # c64 device dtype
+        "gate_rel_err": 1e-4,  # c64 device dtype
         "slice_props_per_s": sliced.nslices / dt,
         "step_ms": dt * 1e3,
+        "compile_s": round(compile_s, 1),
         "grid": grid.shape,
         "nslices": sliced.nslices,
     }
+
+
+def _ctf_stack(grid, lam, scale):
+    import jax
+
+    import fdes_tpu as f
+    from fdes_tpu.grids import host_cast
+    import jax.numpy as jnp
+
+    defoci = np.linspace(-400, 400, 8)
+    ctfs = jax.device_put(
+        host_cast(
+            f.ctf_series(grid, lam, defoci, f.Aberrations(cs=1.2e7), 20e-3),
+            jnp.complex64,
+        )
+    )
+    return defoci, ctfs
 
 
 def config2(scale, step_kind):
@@ -111,27 +154,24 @@ def config2(scale, step_kind):
     import jax.numpy as jnp
 
     import fdes_tpu as f
-    from fdes_tpu.grids import host_cast
     from fdes_tpu.propagate import make_slice_step
 
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 64)
-    defoci = np.linspace(-400, 400, 8)
-    ctfs = host_cast(
-        f.ctf_series(grid, lam, defoci, f.Aberrations(cs=1.2e7), 20e-3),
-        jnp.complex64,
-    )
+    defoci, ctfs = _ctf_stack(grid, lam, scale)
     step = make_slice_step(step_kind, shape=grid.shape)
-    fwd = jax.jit(
-        lambda vv: f.hrtem_defocus_series(
-            vv, jnp.asarray(psi0), jnp.asarray(prop), sigma, jnp.asarray(ctfs),
-            slice_step=step,
+    timed = jax.jit(
+        lambda c, vv, p0, pr, cs: jnp.sum(
+            f.hrtem_defocus_series(
+                vv * (1 + c * 1e-30), p0, pr, sigma, cs, slice_step=step
+            )
         )
     )
-    dt = _timeit(fwd, v, reps=10)
+    dt, compile_s = _chained_timeit(timed, (v, psi0, prop, ctfs), reps=10)
     return {
         "images_per_s": len(defoci) / dt,
         "slice_props_per_s": sliced.nslices / dt,
         "step_ms": dt * 1e3,
+        "compile_s": round(compile_s, 1),
         "grid": grid.shape,
         "nslices": sliced.nslices,
         "ndefoci": len(defoci),
@@ -139,55 +179,57 @@ def config2(scale, step_kind):
 
 
 def config3(scale, step_kind):
-    """Inverse reconstruction: iters/s + data residual."""
+    """Inverse reconstruction: iters/s + data residual.
+
+    The optimizer state chains call-to-call by construction, and the final
+    loss fetch closes the window — the natural train loop is already a
+    valid fetch-synced chain.
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
     import fdes_tpu as f
-    from fdes_tpu.grids import host_cast
     from fdes_tpu.loss import make_loss
+    from fdes_tpu.profiling import fetch_scalar
     from fdes_tpu.propagate import pick_remat_chunk
 
     grid, sliced, kv, lam, sigma, v_true, prop, psi0 = _sim(scale, 512, 64)
-    defoci = np.linspace(-400, 400, 8)
-    ctfs = host_cast(
-        f.ctf_series(grid, lam, defoci, f.Aberrations(cs=1.2e7), 20e-3),
-        jnp.complex64,
-    )
+    defoci, ctfs = _ctf_stack(grid, lam, scale)
     chunk = pick_remat_chunk(sliced.nslices)
-    i_obs = f.hrtem_defocus_series(
-        v_true, jnp.asarray(psi0), jnp.asarray(prop), sigma, jnp.asarray(ctfs)
-    )
-    loss_fn = make_loss(
-        lambda v: f.hrtem_defocus_series(
-            v, jnp.asarray(psi0), jnp.asarray(prop), sigma, jnp.asarray(ctfs),
-            remat_chunk=chunk,
-        ),
-        i_obs,
-    )
+    i_obs = f.hrtem_defocus_series(v_true, psi0, prop, sigma, ctfs)
+
+    def loss_fn(v, psi0, prop, ctfs, i_obs):
+        sim = f.hrtem_defocus_series(
+            v, psi0, prop, sigma, ctfs, remat_chunk=chunk
+        )
+        return jnp.sum((sim - i_obs) ** 2)
+
     opt = optax.adam(5.0)
 
     @jax.jit
-    def train_step(v, st):
-        loss, g = jax.value_and_grad(loss_fn)(v)
+    def train_step(v, st, psi0, prop, ctfs, i_obs):
+        loss, g = jax.value_and_grad(loss_fn)(v, psi0, prop, ctfs, i_obs)
         up, st = opt.update(g, st, v)
         return optax.apply_updates(v, up), st, loss
 
     v = jnp.zeros_like(v_true)
     st = jax.jit(opt.init)(v)
-    v, st, loss = train_step(v, st)  # compile
-    jax_block(v)
+    t0 = time.time()
+    v, st, loss = train_step(v, st, psi0, prop, ctfs, i_obs)  # compile
+    fetch_scalar(loss, tries=120, wait_s=20.0)
+    compile_s = time.time() - t0
     iters = 20 if scale == "full" else 10
     t0 = time.time()
     for _ in range(iters):
-        v, st, loss = train_step(v, st)
-    jax_block(v)
+        v, st, loss = train_step(v, st, psi0, prop, ctfs, i_obs)
+    loss_val = fetch_scalar(loss)
     dt = (time.time() - t0) / iters
     return {
         "recon_iters_per_s": 1.0 / dt,
         "iter_ms": dt * 1e3,
-        "loss_after": float(loss),
+        "compile_s": round(compile_s, 1),
+        "loss_after": loss_val,
         "grid": grid.shape,
         "nslices": sliced.nslices,
         "remat_chunk": chunk,
@@ -207,35 +249,41 @@ def config4(scale, step_kind):
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 128)
     nprobes = 4096 if scale == "full" else 32
     chunk = 64 if scale == "full" else 8
-    stencil = host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64)
-    qy = host_cast(grid.qy()[:, None], jnp.float32)
-    qx = host_cast(grid.qx()[None, :], jnp.float32)
+    stencil = jax.device_put(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
+    qy = jax.device_put(host_cast(grid.qy()[:, None], jnp.float32))
+    qx = jax.device_put(host_cast(grid.qx()[None, :], jnp.float32))
     rng = np.random.default_rng(0)
-    pos = jnp.asarray(
+    pos = jax.device_put(
         (rng.random((nprobes, 2)) * np.array(grid.extent)).astype(np.float32)
     )
-    masks = host_cast(
-        np.stack(
-            [
-                annular_mask(grid, lam, 0.0, 20e-3),
-                annular_mask(grid, lam, 50e-3, 200e-3),
-            ]
-        ),
-        jnp.float32,
-    )
-    step = make_slice_step(step_kind, shape=grid.shape)
-    fwd = jax.jit(
-        lambda vv, p: f.stem_raster(
-            vv, jnp.asarray(stencil), jnp.asarray(qy), jnp.asarray(qx), p,
-            jnp.asarray(prop), sigma, jnp.asarray(masks), probe_chunk=chunk,
-            slice_step=step,
+    masks = jax.device_put(
+        host_cast(
+            np.stack(
+                [
+                    annular_mask(grid, lam, 0.0, 20e-3),
+                    annular_mask(grid, lam, 50e-3, 200e-3),
+                ]
+            ),
+            jnp.float32,
         )
     )
-    dt = _timeit(fwd, v, pos, reps=3)
+    step = make_slice_step(step_kind, shape=grid.shape)
+    timed = jax.jit(
+        lambda c, vv, p, st, y, x, pr, mk: jnp.sum(
+            f.stem_raster(
+                vv, st, y, x, p + c * 1e-30, pr, sigma, mk,
+                probe_chunk=chunk, slice_step=step,
+            )
+        )
+    )
+    dt, compile_s = _chained_timeit(
+        timed, (v, pos, stencil, qy, qx, prop, masks), reps=3
+    )
     return {
         "probes_per_s": nprobes / dt,
         "slice_props_per_s": nprobes * sliced.nslices / dt,
         "raster_s": dt,
+        "compile_s": round(compile_s, 1),
         "grid": grid.shape,
         "nslices": sliced.nslices,
         "nprobes": nprobes,
@@ -251,6 +299,7 @@ def config5(scale, step_kind):
     import fdes_tpu as f
     from fdes_tpu.grids import Grid, host_cast
     from fdes_tpu.loss import l2_mismatch
+    from fdes_tpu.profiling import fetch_scalar
     from fdes_tpu.sharding import make_mesh, replicated, shard_measurements
 
     ndev = len(jax.devices())
@@ -274,20 +323,20 @@ def config5(scale, step_kind):
             for t in tilts
         ]
     )
-    ctf1 = host_cast(f.ctf_series(grid, lam, np.array([100.0]))[0], jnp.complex64)
+    ctf1 = jax.device_put(
+        host_cast(f.ctf_series(grid, lam, np.array([100.0]))[0], jnp.complex64)
+    )
     i_obs = f.hrtem_tilt_series(v_true, psi0s, props, sigma, ctf1)
 
-    def loss_fn(v, psi0s, props, i_obs):
-        sim = f.hrtem_tilt_series(
-            v, psi0s, props, sigma, jnp.asarray(ctf1), remat_chunk=None
-        )
+    def loss_fn(v, psi0s, props, ctf1, i_obs):
+        sim = f.hrtem_tilt_series(v, psi0s, props, sigma, ctf1, remat_chunk=None)
         return l2_mismatch(sim, i_obs)
 
     opt = optax.adam(1.0)
 
     @jax.jit
-    def train_step(v, st, psi0s, props, i_obs):
-        loss, g = jax.value_and_grad(loss_fn)(v, psi0s, props, i_obs)
+    def train_step(v, st, psi0s, props, ctf1, i_obs):
+        loss, g = jax.value_and_grad(loss_fn)(v, psi0s, props, ctf1, i_obs)
         up, st = opt.update(g, st, v)
         return optax.apply_updates(v, up), st, loss
 
@@ -297,13 +346,13 @@ def config5(scale, step_kind):
         p0, pr, ob = shard_measurements(mesh, psi0s[:k], props[:k], i_obs[:k])
         v = jax.device_put(jnp.zeros_like(v_true), replicated(mesh))
         st = jax.jit(opt.init)(v)
-        v, st, _ = train_step(v, st, p0, pr, ob)
-        jax_block(v)
+        v, st, loss = train_step(v, st, p0, pr, ctf1, ob)
+        fetch_scalar(loss, tries=120, wait_s=20.0)
         reps = 5
         t0 = time.time()
         for _ in range(reps):
-            v, st, _ = train_step(v, st, p0, pr, ob)
-        jax_block(v)
+            v, st, loss = train_step(v, st, p0, pr, ctf1, ob)
+        fetch_scalar(loss)
         dt = (time.time() - t0) / reps
         return k / dt  # measurements processed per second
 
@@ -328,11 +377,30 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4")
     ap.add_argument("--scale", default="full", choices=["full", "ci"])
-    ap.add_argument("--step", default="xla", choices=["xla", "pallas", "mxu", "all", "both"])
+    ap.add_argument(
+        "--step",
+        default="xla",
+        choices=["xla", "pallas", "mxu", "mxu_fast", "all", "both"],
+    )
     ap.add_argument("--tag", default="")
     args = ap.parse_args(argv)
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # env var alone loses to the ambient sitecustomize TPU backend
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     os.makedirs(RESULTS_DIR, exist_ok=True)
     steps = {"both": ["xla", "pallas"], "all": ["xla", "pallas", "mxu"]}.get(

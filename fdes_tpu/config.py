@@ -33,7 +33,7 @@ class SimParams:
     tilt_x_rad: float = 0.0
     tilt_y_rad: float = 0.0
     dtype: str = "complex64"
-    engine: str = "xla"  # slice-step backend: xla | pallas | mxu
+    engine: str = "xla"  # slice-step backend: xla | pallas | mxu | mxu_fast
     #: ((tx, ty), ...) beam/specimen tilt series in rad; non-empty switches
     #: hrtem/invert modes from a defocus series to a tilt series (the
     #: reference's inverse-tomography modality, SURVEY.md §3.2 / PRB 2013)

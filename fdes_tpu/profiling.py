@@ -76,3 +76,20 @@ def fetch_scalar(x, tries: int = 30, wait_s: float = 20.0) -> float:
                 raise
             time.sleep(wait_s)
     raise RuntimeError("unreachable")
+
+
+def fetch_array(x, tries: int = 30, wait_s: float = 20.0):
+    """Full device->host readback with the same retry discipline as
+    fetch_scalar (returns np.ndarray)."""
+    import numpy as np
+
+    import jax.errors
+
+    for i in range(tries):
+        try:
+            return np.asarray(x)
+        except jax.errors.JaxRuntimeError:
+            if i == tries - 1:
+                raise
+            time.sleep(wait_s)
+    raise RuntimeError("unreachable")
