@@ -278,7 +278,8 @@ def main(argv: list[str] | None = None) -> int:
             i_obs = fwd(real_v)
 
         loss_fn = make_loss(
-            fwd, i_obs, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight
+            fwd, i_obs, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight,
+            kind=cfg.recon.loss, dose=cfg.recon.dose,
         )
         res = reconstruct(
             loss_fn,

@@ -100,6 +100,8 @@ class ReconParams:
     iterations: int = 200
     optimizer: str = "adam"
     lr: float = 1.0
+    loss: str = "l2"  # data term: l2 (reference) | poisson (ML for counts)
+    dose: float = 1.0  # counts per unit intensity (loss = "poisson" only)
     l2_weight: float = 0.0
     tv_weight: float = 0.0
     positivity: bool = False  # project V >= 0 after each update

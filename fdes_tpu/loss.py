@@ -28,6 +28,27 @@ def l2_mismatch(i_sim: jax.Array, i_obs: jax.Array) -> jax.Array:
     return 0.5 * jnp.sum(r * r)
 
 
+def poisson_nll(
+    i_sim: jax.Array, i_obs: jax.Array, dose: float = 1.0, eps: float = 1e-12
+) -> jax.Array:
+    """Poisson negative log-likelihood for dose-limited (counting) data.
+
+    Beyond-reference capability (the reference's cost is least-squares
+    only, SURVEY.md C12): for images recorded as counts n = Poisson(dose*I)
+    the maximum-likelihood mismatch is
+
+        L = sum( dose*I_sim - n*log(dose*I_sim) )          (+ const in n)
+
+    with i_obs given in COUNTS (e.g. imaging.add_dose_noise output when
+    dose_per_px scaling was applied, or raw detector counts) and i_sim the
+    noise-free model intensity.  eps clamps the log away from I=0 pixels;
+    at large dose the curvature matches l2_mismatch weighted by 1/I (the
+    usual Gaussian limit), so optimizer step sizes transfer.
+    """
+    lam = dose * i_sim + eps
+    return jnp.sum(lam - i_obs * jnp.log(lam))
+
+
 def tikhonov(v_stack: jax.Array, weight: float) -> jax.Array:
     """weight * 0.5 * ||V||^2 — ridge regulariser on the potential."""
     return weight * 0.5 * jnp.sum(v_stack * v_stack)
@@ -50,16 +71,27 @@ def make_loss(
     i_obs: jax.Array,
     l2_weight: float = 0.0,
     tv_weight: float = 0.0,
+    kind: str = "l2",
+    dose: float = 1.0,
 ):
-    """loss(V, *fwd_args) = l2_mismatch(forward(V, *fwd_args), I_obs) + reg.
+    """loss(V, *fwd_args) = mismatch(forward(V, *fwd_args), I_obs) + reg.
 
     ``forward`` is any of the forward.py series functions partially applied
-    down to (v_stack, *args) -> images.  Returns a scalar-valued function
-    ready for jax.value_and_grad.
+    down to (v_stack, *args) -> images.  ``kind`` selects the data term:
+    'l2' (the reference's least-squares) or 'poisson' (counting-statistics
+    maximum likelihood; i_obs in counts, ``dose`` the counts-per-unit-
+    intensity scale).  Returns a scalar-valued function ready for
+    jax.value_and_grad.
     """
+    if kind not in ("l2", "poisson"):
+        raise ValueError(f"unknown loss kind {kind!r}")
 
     def loss_fn(v_stack, *fwd_args):
-        data = l2_mismatch(forward(v_stack, *fwd_args), i_obs)
+        sim = forward(v_stack, *fwd_args)
+        if kind == "poisson":
+            data = poisson_nll(sim, i_obs, dose)
+        else:
+            data = l2_mismatch(sim, i_obs)
         if l2_weight:
             data = data + tikhonov(v_stack, l2_weight)
         if tv_weight:

@@ -236,6 +236,46 @@ def test_defocus_series_drives_data_residual_to_zero(rng):
     assert rel <= 1e-4, f"data-space rel-err {rel:.2e}"
 
 
+def test_poisson_loss_gradient_and_ml_recovery(rng):
+    """Poisson maximum-likelihood data term (beyond-reference, loss.py):
+    grad matches finite differences on count data, and on noise-free counts
+    the ML objective drives the data residual to zero like L2 does."""
+    grid, lam, sigma, prop, psi0, v_true, ctfs, i_obs = _tiny(rng, n=16, s=2)
+    dose = 200.0
+
+    def fwd(v):
+        return hrtem_defocus_series(v, psi0, prop, sigma, ctfs, remat_chunk=2)
+
+    counts = jnp.asarray(
+        rng.poisson(dose * np.asarray(i_obs)).astype(np.float64)
+    )
+    loss_fn = make_loss(fwd, counts, kind="poisson", dose=dose)
+    v = jnp.asarray(rng.normal(size=v_true.shape) * 5.0)
+    g = jax.grad(loss_fn)(v)
+    eps = 1e-5
+    for idx in [(0, 3, 4), (1, 15, 15)]:
+        dv = np.zeros(v.shape)
+        dv[idx] = eps
+        fd = (float(loss_fn(v + dv)) - float(loss_fn(v - dv))) / (2 * eps)
+        # rtol bounded by central-difference truncation of the log term
+        np.testing.assert_allclose(float(g[idx]), fd, rtol=3e-3, atol=1e-7)
+
+    # noise-free counts: the ML minimum is the true data; residual -> 0
+    loss_clean = make_loss(fwd, dose * i_obs, kind="poisson", dose=dose)
+    res = reconstruct(
+        loss_clean,
+        jnp.zeros_like(v_true),
+        iterations=500,
+        optimizer=make_optimizer("lbfgs", 0.0),
+    )
+    i_rec = fwd(jnp.asarray(res.v))
+    rel = float(jnp.linalg.norm(i_rec - i_obs) / jnp.linalg.norm(i_obs))
+    assert rel <= 1e-3, f"data-space rel-err {rel:.2e}"
+
+    with pytest.raises(ValueError):
+        make_loss(fwd, counts, kind="huber")
+
+
 def test_checkpoint_roundtrip_and_resume(rng, tmp_path):
     grid, lam, sigma, prop, psi0, v_true, ctfs, i_obs = _tiny(rng, n=16, s=2)
 
