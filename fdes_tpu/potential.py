@@ -181,8 +181,12 @@ def build_potential_exact(
                 (sps[None, :] == jnp.arange(nsp)[:, None]).astype(ay.real.dtype)
                 * ws[None, :]
             )  # (nsp, M)
+            # Precision.HIGHEST: TPU matmuls default to one bf16 pass per
+            # f32 operand (~3e-3 rounding) — this builder exists for exact
+            # sub-pixel phases, so pin true-f32 MXU emulation (dft.py doc).
             f = jnp.einsum(
-                "ym,sm,mx->syx", ay, wsp.astype(ay.dtype), bx
+                "ym,sm,mx->syx", ay, wsp.astype(ay.dtype), bx,
+                precision=jax.lax.Precision.HIGHEST,
             )  # per-species structure factors
             vq = jnp.sum(f * ff.astype(ay.dtype), axis=0)
             return jnp.fft.ifft2(vq).real * jnp.asarray(inv_area, ay.real.dtype)
