@@ -22,7 +22,13 @@ from .optics import Aberrations, aperture, chi, ctf, ctf_series, ctf_traced, env
 from .potential import build_potential, build_potential_exact
 from .probe import plane_wave, probe_from_stencil, probe_stencil
 from .phonon import phonon_average, phonon_configs, phonon_sliced
-from .propagate import make_slice_step, multislice, pick_remat_chunk, transmit
+from .propagate import (
+    make_slice_step,
+    multislice,
+    multislice_thickness_series,
+    pick_remat_chunk,
+    transmit,
+)
 from .reconstruct import make_optimizer, reconstruct
 from .scattering import ScatteringTable, load_kirkland_table
 from .sharding import make_mesh, shard_measurements, sharded_value_and_grad
@@ -60,6 +66,7 @@ __all__ = [
     "make_si110_supercell",
     "make_slice_step",
     "multislice",
+    "multislice_thickness_series",
     "phonon_average",
     "phonon_configs",
     "phonon_sliced",

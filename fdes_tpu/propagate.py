@@ -138,6 +138,38 @@ def make_slice_step(
     raise ValueError(f"unknown slice-step kind {kind!r}")
 
 
+def multislice_thickness_series(
+    psi0: jax.Array,
+    v_stack: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    *,
+    every: int = 1,
+    slice_step: Callable[..., jax.Array] | None = None,
+) -> jax.Array:
+    """Exit wave after every ``every``-th slice: the thickness series.
+
+    Returns (S // every, ny, nx) waves psi_{every}, psi_{2*every}, ...,
+    letting one rollout produce a whole thickness/defocus map (depth
+    sectioning) instead of S separate truncated runs.  S must be divisible
+    by ``every``.  Same scan body as ``multislice`` — the stacked outputs
+    are the only extra memory (O(S/every * N^2)).
+    """
+    step = slice_step or default_slice_step
+    s = v_stack.shape[0]
+    if s % every != 0:
+        raise ValueError(f"every {every} must divide nslices {s}")
+
+    def body(psi, v_chunk):
+        psi = jax.lax.scan(
+            lambda p, v: (step(p, v, propagator, sigma), None), psi, v_chunk
+        )[0]
+        return psi, psi
+
+    chunks = v_stack.reshape(s // every, every, *v_stack.shape[1:])
+    return jax.lax.scan(body, psi0, chunks)[1]
+
+
 def pick_remat_chunk(nslices: int) -> int:
     """Divisor of nslices nearest sqrt(nslices) (sqrt-S remat policy)."""
     if nslices <= 4:

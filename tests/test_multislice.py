@@ -60,6 +60,25 @@ def test_pure_phase_object_dz0(rng):
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-12)
 
 
+def test_thickness_series_matches_prefix_rollouts(rng):
+    """multislice_thickness_series(every=k)[i] == multislice over the first
+    (i+1)*k slices, and the last frame equals the full exit wave."""
+    from fdes_tpu.propagate import multislice_thickness_series
+
+    g = Grid(ny=16, nx=16, py=0.3, px=0.3)
+    sigma, prop = _setup(g, dz=1.0)
+    v = jnp.asarray(rng.normal(size=(12, 16, 16)) * 5.0)
+    psi0 = plane_wave(g, wavelength_A(KV), dtype=jnp.complex128)
+    prop = jnp.asarray(prop)
+    series = multislice_thickness_series(psi0, v, prop, sigma, every=3)
+    assert series.shape == (4, 16, 16)
+    for i in range(4):
+        ref = multislice(psi0, v[: 3 * (i + 1)], prop, sigma)
+        np.testing.assert_allclose(np.asarray(series[i]), np.asarray(ref), atol=1e-13)
+    with pytest.raises(ValueError):
+        multislice_thickness_series(psi0, v, prop, sigma, every=5)
+
+
 def test_pick_remat_chunk():
     assert pick_remat_chunk(512) in (16, 32)
     assert 512 % pick_remat_chunk(512) == 0
