@@ -133,6 +133,18 @@ def main(argv: list[str] | None = None) -> int:
             )
         io.write_npy(out("exit_wave.npy"), psi)
         io.write_npy(out("potential.npy"), sim.v_stack)
+        if cfg.sim.thickness_every > 0:
+            from .propagate import multislice_thickness_series
+
+            series = multislice_thickness_series(
+                sim.psi0 if sim.psi0_stack is None else sim.psi0_stack[0],
+                sim.v_stack,
+                sim.propagator if sim.psi0_stack is None else sim.prop_stack[0],
+                sim.sigma,
+                every=cfg.sim.thickness_every,
+                slice_step=slice_step,
+            )
+            io.write_npy(out("thickness_series.npy"), series)
     elif cfg.mode == "hrtem":
         from .forward import hrtem_defocus_series, hrtem_tilt_series
         from .imaging import add_dose_noise, apply_mtf, gaussian_mtf

@@ -40,6 +40,9 @@ class SimParams:
     tilt_series_rad: tuple = ()
     absorptive_factor: float = 0.0  # V_abs = factor * V (optical potential)
     phonon_configs: int = 0  # >0: frozen-phonon average over this many configs
+    #: >0: forward mode also writes the thickness series (exit wave after
+    #: every k-th slice; must divide nslices) to thickness_series.npy
+    thickness_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

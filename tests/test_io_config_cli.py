@@ -141,6 +141,21 @@ def test_cli_modes_end_to_end(tmp_path, mode, outfile):
     assert np.all(np.isfinite(np.abs(out)))
 
 
+def test_cli_forward_thickness_series(tmp_path):
+    cfg = _write_small_cfg(tmp_path, "forward")
+    text = cfg.read_text().replace("[sim]", "[sim]\nthickness_every = 2\n")
+    cfg.write_text(text)
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    series = np.load(tmp_path / "out" / "thickness_series.npy")
+    exit_wave = np.load(tmp_path / "out" / "exit_wave.npy")
+    assert series.shape == (2, 32, 32)
+    np.testing.assert_allclose(series[-1], exit_wave, atol=1e-6)
+
+
 def test_cli_invert_self_test(tmp_path):
     cfg = _write_small_cfg(tmp_path, "invert")
     r = subprocess.run(
