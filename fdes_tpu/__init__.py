@@ -22,6 +22,7 @@ from .optics import Aberrations, aperture, chi, ctf, ctf_series, ctf_traced, env
 from .potential import build_potential, build_potential_exact
 from .probe import plane_wave, probe_from_stencil, probe_stencil
 from .phonon import phonon_average, phonon_configs, phonon_sliced
+from .prism import plan_prism, prism_raster, prism_raster_4d, prism_smatrix
 from .propagate import (
     make_slice_step,
     multislice,
@@ -65,6 +66,10 @@ __all__ = [
     "make_optimizer",
     "make_si110_supercell",
     "make_slice_step",
+    "plan_prism",
+    "prism_raster",
+    "prism_raster_4d",
+    "prism_smatrix",
     "multislice",
     "multislice_thickness_series",
     "phonon_average",

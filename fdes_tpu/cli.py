@@ -187,20 +187,39 @@ def main(argv: list[str] | None = None) -> int:
 
         stencil, qy, qx, positions, _ = stem_setup(sim)
         stacks = phonon_stacks()
-        cbed = sum(
-            stem_raster_4d(
-                v,
-                stencil,
-                qy,
-                qx,
-                positions,
-                sim.propagator,
-                sim.sigma,
-                probe_chunk=cfg.stem.probe_chunk or None,
-                slice_step=slice_step,
-            )
-            for v in stacks
-        ) / len(stacks)
+        if cfg.stem.method == "prism":
+            from .pipeline import prism_setup
+            from .prism import prism_raster_4d, prism_smatrix
+
+            plan = prism_setup(sim)
+            cbed = sum(
+                prism_raster_4d(
+                    prism_smatrix(
+                        plan, v, sim.propagator, sim.sigma,
+                        beam_chunk=cfg.stem.beam_chunk or None,
+                        slice_step=slice_step, dtype=sim.cdtype,
+                    ),
+                    plan,
+                    positions,
+                    probe_chunk=cfg.stem.probe_chunk or None,
+                )
+                for v in stacks
+            ) / len(stacks)
+        else:
+            cbed = sum(
+                stem_raster_4d(
+                    v,
+                    stencil,
+                    qy,
+                    qx,
+                    positions,
+                    sim.propagator,
+                    sim.sigma,
+                    probe_chunk=cfg.stem.probe_chunk or None,
+                    slice_step=slice_step,
+                )
+                for v in stacks
+            ) / len(stacks)
         io.write_npy(
             out("cbed.npy"),
             np.asarray(cbed).reshape(
@@ -212,21 +231,44 @@ def main(argv: list[str] | None = None) -> int:
 
         stencil, qy, qx, positions, masks = stem_setup(sim)
         stacks = phonon_stacks()
-        sig = sum(
-            stem_raster(
-                v,
-                stencil,
-                qy,
-                qx,
-                positions,
-                sim.propagator,
-                sim.sigma,
-                masks,
-                probe_chunk=cfg.stem.probe_chunk or None,
-                slice_step=slice_step,
-            )
-            for v in stacks
-        ) / len(stacks)
+        if cfg.stem.method == "prism":
+            from .pipeline import prism_setup
+            from .prism import prism_raster, prism_smatrix
+
+            plan = prism_setup(sim)
+            sig = sum(
+                prism_raster(
+                    prism_smatrix(
+                        plan, v, sim.propagator, sim.sigma,
+                        beam_chunk=cfg.stem.beam_chunk or None,
+                        slice_step=slice_step, dtype=sim.cdtype,
+                    ),
+                    plan,
+                    positions,
+                    masks,
+                    probe_chunk=cfg.stem.probe_chunk or None,
+                )
+                for v in stacks
+            ) / len(stacks)
+        elif cfg.stem.method != "multislice":
+            print(f"unknown stem.method {cfg.stem.method!r}", file=sys.stderr)
+            return 2
+        else:
+            sig = sum(
+                stem_raster(
+                    v,
+                    stencil,
+                    qy,
+                    qx,
+                    positions,
+                    sim.propagator,
+                    sim.sigma,
+                    masks,
+                    probe_chunk=cfg.stem.probe_chunk or None,
+                    slice_step=slice_step,
+                )
+                for v in stacks
+            ) / len(stacks)
         raster = np.asarray(sig).reshape(-1, cfg.stem.scan_ny, cfg.stem.scan_nx)
         io.write_npy(out("stem.npy"), raster)
         if cfg.stem.compute_com:

@@ -87,6 +87,9 @@ class StemParams:
     dpc_nseg: int = 0  # >0: segment detectors[0] into this many DPC sectors
     compute_com: bool = False  # also record the iCOM first-moment raster
     probe_chunk: int = 0  # 0 = no chunking
+    method: str = "multislice"  # multislice (exact) | prism (S-matrix)
+    prism_interp: int = 1  # PRISM f: 1 = exact, f>1 subsamples beams ~f^2
+    beam_chunk: int = 0  # PRISM S-matrix build chunking; 0 = no chunking
 
 
 @dataclasses.dataclass(frozen=True)

@@ -204,3 +204,18 @@ def stem_setup(sim: Sim):
         )
     masks = np.stack(mask_list)
     return stencil, qy, qx, positions, jnp.asarray(host_cast(masks, sim.rdtype))
+
+
+def prism_setup(sim: Sim):
+    """PRISM beam plan for the configured probe (stem.method = "prism").
+
+    Reuses the exact probe stencil (HOST c128, before device cast) so the
+    interp=1 plan reproduces stem_setup's probe identically.
+    """
+    from .prism import plan_prism
+
+    st = sim.cfg.stem
+    stencil_host = probe_stencil(
+        sim.grid, sim.wavelength_A, st.semiangle_rad, sim.aberrations
+    )
+    return plan_prism(sim.grid, stencil_host, interp=max(st.prism_interp, 1))

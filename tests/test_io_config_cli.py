@@ -156,6 +156,24 @@ def test_cli_forward_thickness_series(tmp_path):
     np.testing.assert_allclose(series[-1], exit_wave, atol=1e-6)
 
 
+def test_cli_stem_prism_matches_multislice(tmp_path):
+    """stem.method='prism' at interp=1 reproduces the exact raster."""
+    sigs = {}
+    for method in ("multislice", "prism"):
+        cfg = _write_small_cfg(tmp_path, "stem")
+        text = cfg.read_text().replace(
+            "[stem]", f'[stem]\nmethod = "{method}"\nprism_interp = 1\n'
+        ).replace(f"{tmp_path}/out", f"{tmp_path}/out_{method}")
+        cfg.write_text(text)
+        r = subprocess.run(
+            [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+            env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        sigs[method] = np.load(tmp_path / f"out_{method}" / "stem.npy")
+    np.testing.assert_allclose(sigs["prism"], sigs["multislice"], rtol=1e-4, atol=1e-6)
+
+
 def test_cli_invert_self_test(tmp_path):
     cfg = _write_small_cfg(tmp_path, "invert")
     r = subprocess.run(
