@@ -118,7 +118,9 @@ def _measure() -> int:
     from fdes_tpu.probe import probe_from_stencil
     from fdes_tpu.propagate import make_slice_step, multislice
 
-    slice_step = make_slice_step(os.environ.get("FDES_BENCH_STEP", "xla"))
+    slice_step = make_slice_step(
+        os.environ.get("FDES_BENCH_STEP", "xla"), shape=(n, n)
+    )
 
     def rollout_batch(v_stack, positions, carry, stencil, qy, qx, prop):
         # carry chains successive calls (output feeds input) so the timing

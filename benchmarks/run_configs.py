@@ -370,7 +370,76 @@ def config5(scale, step_kind):
     }
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+def config6(scale, step_kind):
+    """PRISM S-matrix STEM on the config-4 workload (prism.py).
+
+    Times the FULL per-frame pipeline — S-matrix build (one multislice per
+    aperture beam) plus probe synthesis + detection for every scan position
+    — so the probes/s number is directly comparable to config4's exact
+    rollouts.  interp=2 (the standard PRISM dial)."""
+    import jax
+    import jax.numpy as jnp
+
+    import fdes_tpu as f
+    from fdes_tpu.detector import annular_mask
+    from fdes_tpu.grids import host_cast
+    from fdes_tpu.prism import plan_prism, prism_raster, prism_smatrix
+    from fdes_tpu.propagate import make_slice_step
+
+    grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 128)
+    nprobes = 4096 if scale == "full" else 32
+    probe_chunk = 256 if scale == "full" else 8
+    interp = 2
+    stencil_host = f.probe_stencil(grid, lam, 20e-3)
+    plan = plan_prism(grid, stencil_host, interp=interp)
+    beam_chunk = next(
+        (c for c in range(64, 1, -1) if plan.nbeams % c == 0), None
+    )
+    rng = np.random.default_rng(0)
+    pos = jax.device_put(
+        (rng.random((nprobes, 2)) * np.array(grid.extent)).astype(np.float32)
+    )
+    masks = jax.device_put(
+        host_cast(
+            np.stack(
+                [
+                    annular_mask(grid, lam, 0.0, 20e-3),
+                    annular_mask(grid, lam, 50e-3, 200e-3),
+                ]
+            ),
+            jnp.float32,
+        )
+    )
+    step = make_slice_step(step_kind, shape=grid.shape)
+    timed = jax.jit(
+        lambda c, vv, p, pr, mk: jnp.sum(
+            prism_raster(
+                prism_smatrix(
+                    plan, vv * (1 + c * 1e-30), pr, sigma,
+                    beam_chunk=beam_chunk, slice_step=step,
+                ),
+                plan,
+                p,
+                mk,
+                probe_chunk=probe_chunk,
+            )
+        )
+    )
+    dt, compile_s = _chained_timeit(timed, (v, pos, prop, masks), reps=3)
+    return {
+        "probes_per_s": nprobes / dt,
+        "equiv_slice_props_per_s": nprobes * sliced.nslices / dt,
+        "smatrix_rollouts": plan.nbeams,
+        "interp": interp,
+        "raster_s": dt,
+        "compile_s": round(compile_s, 1),
+        "grid": grid.shape,
+        "nslices": sliced.nslices,
+        "nprobes": nprobes,
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5, 6: config6}
 
 
 def main(argv=None):
