@@ -110,6 +110,28 @@ def test_prism_beam_chunking_equal(setup):
         prism_smatrix(plan, v, prop, sigma, beam_chunk=chunk + 1)
 
 
+def test_prism_gradient_matches_exact_path(setup):
+    """jax.grad flows through S-matrix build + synthesis; at interp=1 it
+    equals the gradient of the exact per-probe raster (same function)."""
+    grid, lam, sigma, v, prop, stencil, masks, pos = setup
+    plan = plan_prism(grid, stencil, interp=1)
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+
+    def loss_prism(vv):
+        smat = prism_smatrix(plan, vv, prop, sigma, dtype=jnp.complex128)
+        return jnp.sum(prism_raster(smat, plan, pos[:3], masks))
+
+    def loss_exact(vv):
+        return jnp.sum(
+            stem_raster(vv, jnp.asarray(stencil), qy, qx, pos[:3], prop, sigma, masks)
+        )
+
+    gp = np.asarray(jax.grad(loss_prism)(v))
+    ge = np.asarray(jax.grad(loss_exact)(v))
+    np.testing.assert_allclose(gp, ge, rtol=1e-7, atol=1e-10)
+
+
 def test_prism_plan_validation(setup):
     grid, lam, sigma, v, prop, stencil, masks, pos = setup
     with pytest.raises(ValueError):
