@@ -108,3 +108,42 @@ def test_shard_measurements_rejects_indivisible(tilt_problem):
     mesh = make_mesh()
     with pytest.raises(ValueError):
         shard_measurements(mesh, psi0s[:5])
+
+
+def test_stem_probe_axis_sharded_equals_replicated():
+    """Config-4 pod story: probe positions sharded over the mesh, potential
+    replicated — GSPMD partitions the vmap'ed rollouts; signals match the
+    single-device raster bit-for-bit tolerance."""
+    from fdes_tpu.detector import annular_mask
+    from fdes_tpu.forward import stem_raster
+    from fdes_tpu.probe import probe_stencil
+    from fdes_tpu.sharding import replicated, shard_measurements
+
+    rng = np.random.default_rng(13)
+    n = 32
+    grid = Grid(ny=n, nx=n, py=0.4, px=0.4)
+    lam = wavelength_A(KV)
+    sigma = interaction_sigma(KV)
+    v = jnp.asarray(rng.normal(size=(3, n, n)) * 15.0)
+    prop = jnp.asarray(fresnel_propagator(grid, lam, 1.8))
+    stencil = jnp.asarray(probe_stencil(grid, lam, 25e-3))
+    qy = jnp.asarray(grid.qy()[:, None])
+    qx = jnp.asarray(grid.qx()[None, :])
+    pos = jnp.asarray(
+        (rng.random((16, 2)) * np.array(grid.extent)).astype(np.float64)
+    )
+    masks = jnp.asarray(
+        np.stack([annular_mask(grid, lam, 0.0, 25e-3),
+                  annular_mask(grid, lam, 40e-3, 150e-3)])
+    )
+
+    fn = jax.jit(
+        lambda vv, p: stem_raster(vv, stencil, qy, qx, p, prop, sigma, masks)
+    )
+    ref = fn(v, pos)
+
+    mesh = make_mesh()
+    pos_sh = shard_measurements(mesh, pos)
+    v_rep = jax.device_put(v, replicated(mesh))
+    out = fn(v_rep, pos_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12, atol=1e-13)
