@@ -66,7 +66,7 @@ def main() -> int:
     # queue drains is transient; see fetch() below).
     import jax.errors
 
-    attempts = int(os.environ.get("FDES_BENCH_ATTEMPTS", "3"))
+    attempts = int(os.environ.get("FDES_BENCH_ATTEMPTS", "6"))
     for attempt in range(attempts):
         try:
             return _measure()
@@ -74,7 +74,8 @@ def main() -> int:
             print(f"# bench attempt {attempt + 1}/{attempts} failed: {e}", file=sys.stderr)
             if attempt == attempts - 1:
                 raise
-            time.sleep(90.0)
+            # tunnel outages last minutes, not seconds: back off 1->5 min
+            time.sleep(min(60.0 * (attempt + 1), 300.0))
     return 1
 
 
