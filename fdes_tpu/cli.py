@@ -302,7 +302,20 @@ def main(argv: list[str] | None = None) -> int:
 
         chunk = cfg.recon.remat_chunk or pick_remat_chunk(cfg.sim.nslices)
 
-        if sim.psi0_stack is not None:
+        if cfg.recon.modality == "stem4d":
+            # ptychography-style inverse from CBED stacks (beyond-reference;
+            # tests/test_inverse.py::test_4dstem_ptychographic_recovery)
+            from .forward import stem_raster_4d
+
+            stencil, qy, qx, positions, _ = stem_setup(sim)
+
+            def fwd(v):
+                return stem_raster_4d(
+                    v, stencil, qy, qx, positions, sim.propagator, sim.sigma,
+                    probe_chunk=cfg.stem.probe_chunk or None,
+                    remat_chunk=chunk,
+                )
+        elif sim.psi0_stack is not None:
             # tilt-series modality (the reference's inverse tomography)
             def fwd(v):
                 return hrtem_tilt_series(
@@ -317,10 +330,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
         if cfg.observed_path:
+            obs = np.load(cfg.observed_path)
+            if obs.ndim == 4:  # (scan_ny, scan_nx, ny, nx) CBED export
+                obs = obs.reshape(-1, *obs.shape[-2:])
             i_obs = jnp.asarray(
-                np.load(cfg.observed_path).astype(
-                    np.dtype(jax.numpy.dtype(sim.rdtype).name)
-                )
+                obs.astype(np.dtype(jax.numpy.dtype(sim.rdtype).name))
             )
         else:
             # Self-test mode: invert synthetic data from the loaded specimen.

@@ -106,6 +106,11 @@ class ReconParams:
     iterations: int = 200
     optimizer: str = "adam"
     lr: float = 1.0
+    #: measurement modality the inverse consumes: auto = defocus series, or
+    #: tilt series when sim.tilt_series_rad is set (the reference's two
+    #: inverse modes); stem4d = CBED stacks at the [stem] scan positions
+    #: (ptychography-style, beyond reference)
+    modality: str = "auto"
     loss: str = "l2"  # data term: l2 (reference) | poisson (ML for counts)
     dose: float = 1.0  # counts per unit intensity (loss = "poisson" only)
     l2_weight: float = 0.0

@@ -189,6 +189,24 @@ def test_cli_invert_self_test(tmp_path):
     assert (tmp_path / "out" / "checkpoint.npz").exists()
 
 
+def test_cli_invert_stem4d_modality(tmp_path):
+    """Ptychography-style inverse through the CLI (recon.modality=stem4d),
+    self-test mode: loss must fall on the synthetic 4D data."""
+    cfg = _write_small_cfg(tmp_path, "invert")
+    text = cfg.read_text().replace(
+        "[recon]\niterations = 5\nlr = 2.0",
+        '[recon]\nmodality = "stem4d"\niterations = 8\nlr = 2.0',
+    )
+    cfg.write_text(text)
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = [json.loads(l) for l in open(tmp_path / "out" / "metrics.jsonl")]
+    assert metrics[-1]["loss"] < metrics[0]["loss"]
+
+
 def test_cli_hrtem_with_detector_noise(tmp_path):
     cfg = _write_small_cfg(
         tmp_path,
