@@ -131,7 +131,7 @@ def config1(scale, step_kind):
     }
 
 
-def _ctf_stack(grid, lam, scale):
+def _ctf_stack(grid, lam):
     import jax
 
     import fdes_tpu as f
@@ -157,7 +157,7 @@ def config2(scale, step_kind):
     from fdes_tpu.propagate import make_slice_step
 
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 64)
-    defoci, ctfs = _ctf_stack(grid, lam, scale)
+    defoci, ctfs = _ctf_stack(grid, lam)
     step = make_slice_step(step_kind, shape=grid.shape)
     timed = jax.jit(
         lambda c, vv, p0, pr, cs: jnp.sum(
@@ -195,7 +195,7 @@ def config3(scale, step_kind):
     from fdes_tpu.propagate import pick_remat_chunk
 
     grid, sliced, kv, lam, sigma, v_true, prop, psi0 = _sim(scale, 512, 64)
-    defoci, ctfs = _ctf_stack(grid, lam, scale)
+    defoci, ctfs = _ctf_stack(grid, lam)
     chunk = pick_remat_chunk(sliced.nslices)
     i_obs = f.hrtem_defocus_series(v_true, psi0, prop, sigma, ctfs)
 
@@ -472,7 +472,7 @@ def main(argv=None):
         pass
 
     os.makedirs(RESULTS_DIR, exist_ok=True)
-    steps = {"both": ["xla", "pallas"], "all": ["xla", "pallas", "mxu"]}.get(
+    steps = {"both": ["xla", "pallas"], "all": ["xla", "pallas", "mxu", "mxu_fast"]}.get(
         args.step, [args.step]
     )
     results = {}

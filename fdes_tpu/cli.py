@@ -87,6 +87,26 @@ def main(argv: list[str] | None = None) -> int:
         cfg.sim.engine, shape=sim.grid.shape, dtype=sim.cdtype
     )
 
+    if cfg.mode in ("stem", "stem4d") and cfg.stem.method not in (
+        "multislice",
+        "prism",
+    ):
+        print(f"unknown stem.method {cfg.stem.method!r}", file=sys.stderr)
+        return 2
+    if cfg.mode == "invert" and cfg.recon.modality not in ("auto", "stem4d"):
+        print(f"unknown recon.modality {cfg.recon.modality!r}", file=sys.stderr)
+        return 2
+
+    def prism_smat(plan, v):
+        """Shared S-matrix build for the stem/stem4d PRISM branches."""
+        from .prism import prism_smatrix
+
+        return prism_smatrix(
+            plan, v, sim.propagator, sim.sigma,
+            beam_chunk=cfg.stem.beam_chunk or None,
+            slice_step=slice_step, dtype=sim.cdtype,
+        )
+
     def phonon_stacks():
         """Potential stacks to average over: one (DWF) or many (frozen)."""
         if cfg.sim.phonon_configs <= 0:
@@ -136,14 +156,24 @@ def main(argv: list[str] | None = None) -> int:
         if cfg.sim.thickness_every > 0:
             from .propagate import multislice_thickness_series
 
-            series = multislice_thickness_series(
-                sim.psi0 if sim.psi0_stack is None else sim.psi0_stack[0],
-                sim.v_stack,
-                sim.propagator if sim.psi0_stack is None else sim.prop_stack[0],
-                sim.sigma,
-                every=cfg.sim.thickness_every,
-                slice_step=slice_step,
-            )
+            if sim.psi0_stack is not None:
+                # per-tilt depth sectioning: (T, S // every, ny, nx)
+                series = jnp.stack(
+                    [
+                        multislice_thickness_series(
+                            p0, sim.v_stack, pr, sim.sigma,
+                            every=cfg.sim.thickness_every,
+                            slice_step=slice_step,
+                        )
+                        for p0, pr in zip(sim.psi0_stack, sim.prop_stack)
+                    ]
+                )
+            else:
+                series = multislice_thickness_series(
+                    sim.psi0, sim.v_stack, sim.propagator, sim.sigma,
+                    every=cfg.sim.thickness_every,
+                    slice_step=slice_step,
+                )
             io.write_npy(out("thickness_series.npy"), series)
     elif cfg.mode == "hrtem":
         from .forward import hrtem_defocus_series, hrtem_tilt_series
@@ -189,16 +219,12 @@ def main(argv: list[str] | None = None) -> int:
         stacks = phonon_stacks()
         if cfg.stem.method == "prism":
             from .pipeline import prism_setup
-            from .prism import prism_raster_4d, prism_smatrix
+            from .prism import prism_raster_4d
 
             plan = prism_setup(sim)
             cbed = sum(
                 prism_raster_4d(
-                    prism_smatrix(
-                        plan, v, sim.propagator, sim.sigma,
-                        beam_chunk=cfg.stem.beam_chunk or None,
-                        slice_step=slice_step, dtype=sim.cdtype,
-                    ),
+                    prism_smat(plan, v),
                     plan,
                     positions,
                     probe_chunk=cfg.stem.probe_chunk or None,
@@ -233,16 +259,12 @@ def main(argv: list[str] | None = None) -> int:
         stacks = phonon_stacks()
         if cfg.stem.method == "prism":
             from .pipeline import prism_setup
-            from .prism import prism_raster, prism_smatrix
+            from .prism import prism_raster
 
             plan = prism_setup(sim)
             sig = sum(
                 prism_raster(
-                    prism_smatrix(
-                        plan, v, sim.propagator, sim.sigma,
-                        beam_chunk=cfg.stem.beam_chunk or None,
-                        slice_step=slice_step, dtype=sim.cdtype,
-                    ),
+                    prism_smat(plan, v),
                     plan,
                     positions,
                     masks,
@@ -250,9 +272,6 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for v in stacks
             ) / len(stacks)
-        elif cfg.stem.method != "multislice":
-            print(f"unknown stem.method {cfg.stem.method!r}", file=sys.stderr)
-            return 2
         else:
             sig = sum(
                 stem_raster(
@@ -313,20 +332,20 @@ def main(argv: list[str] | None = None) -> int:
                 return stem_raster_4d(
                     v, stencil, qy, qx, positions, sim.propagator, sim.sigma,
                     probe_chunk=cfg.stem.probe_chunk or None,
-                    remat_chunk=chunk,
+                    remat_chunk=chunk, slice_step=slice_step,
                 )
         elif sim.psi0_stack is not None:
             # tilt-series modality (the reference's inverse tomography)
             def fwd(v):
                 return hrtem_tilt_series(
                     v, sim.psi0_stack, sim.prop_stack, sim.sigma,
-                    sim.ctf_stack[0], remat_chunk=chunk,
+                    sim.ctf_stack[0], remat_chunk=chunk, slice_step=slice_step,
                 )
         else:
             def fwd(v):
                 return hrtem_defocus_series(
                     v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
-                    remat_chunk=chunk,
+                    remat_chunk=chunk, slice_step=slice_step,
                 )
 
         if cfg.observed_path:
@@ -344,6 +363,10 @@ def main(argv: list[str] | None = None) -> int:
                 else sim.v_stack
             )
             i_obs = fwd(real_v)
+            if cfg.recon.loss == "poisson":
+                # poisson_nll consumes COUNTS (loss.py); intensities would
+                # shift the ML minimum to sim = I/dose for any dose != 1
+                i_obs = cfg.recon.dose * i_obs
 
         loss_fn = make_loss(
             fwd, i_obs, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight,

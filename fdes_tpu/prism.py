@@ -80,7 +80,14 @@ def plan_prism(grid: Grid, stencil: np.ndarray, interp: int = 1) -> PrismPlan:
     if st.shape != grid.shape:
         raise ValueError(f"stencil shape {st.shape} != grid {grid.shape}")
     iy, ix = np.nonzero(np.abs(st) > 0.0)
-    keep = (iy % interp == 0) & (ix % interp == 0)
+    ny_, nx_ = grid.shape
+    # Subsample on SIGNED harmonics (iy >= n/2 means harmonic iy - n): raw
+    # fft indices would put negative-frequency beams on a shifted lattice
+    # whenever n % interp != 0, breaking the extent/f replica tiling that
+    # justifies the PRISM approximation.
+    hy = np.where(iy >= ny_ // 2 + ny_ % 2, iy - ny_, iy)
+    hx = np.where(ix >= nx_ // 2 + nx_ % 2, ix - nx_, ix)
+    keep = (hy % interp == 0) & (hx % interp == 0)
     iy, ix = iy[keep], ix[keep]
     if iy.size == 0:
         raise ValueError("no beams selected (aperture empty at this interp)")

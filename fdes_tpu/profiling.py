@@ -64,18 +64,7 @@ def fetch_scalar(x, tries: int = 30, wait_s: float = 20.0) -> float:
     UNIMPLEMENTED while queued work drains; the computation is fine, so
     retry the FETCH, never the work (BASELINE.md timing methodology).
     """
-    import numpy as np
-
-    import jax.errors
-
-    for i in range(tries):
-        try:
-            return float(np.asarray(x).reshape(-1)[0])
-        except jax.errors.JaxRuntimeError:
-            if i == tries - 1:
-                raise
-            time.sleep(wait_s)
-    raise RuntimeError("unreachable")
+    return float(fetch_array(x, tries=tries, wait_s=wait_s).reshape(-1)[0])
 
 
 def fetch_array(x, tries: int = 30, wait_s: float = 20.0):
