@@ -147,3 +147,38 @@ def test_stem_probe_axis_sharded_equals_replicated():
     v_rep = jax.device_put(v, replicated(mesh))
     out = fn(v_rep, pos_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12, atol=1e-13)
+
+
+def test_prism_raster_probe_axis_sharded_equals_replicated():
+    """PRISM pod story: S-matrix replicated, probe positions sharded — the
+    (P,B)@(B,N^2) synthesis partitions on P with zero collectives."""
+    from fdes_tpu.detector import annular_mask
+    from fdes_tpu.prism import plan_prism, prism_raster, prism_smatrix
+    from fdes_tpu.probe import probe_stencil
+    from fdes_tpu.sharding import replicated, shard_measurements
+
+    rng = np.random.default_rng(17)
+    n = 32
+    grid = Grid(ny=n, nx=n, py=0.4, px=0.4)
+    lam = wavelength_A(KV)
+    sigma = interaction_sigma(KV)
+    v = jnp.asarray(rng.normal(size=(3, n, n)) * 15.0)
+    prop = jnp.asarray(fresnel_propagator(grid, lam, 1.8))
+    stencil = probe_stencil(grid, lam, 25e-3)
+    plan = plan_prism(grid, stencil, interp=1)
+    pos = jnp.asarray(
+        (rng.random((16, 2)) * np.array(grid.extent)).astype(np.float64)
+    )
+    masks = jnp.asarray(
+        np.stack([annular_mask(grid, lam, 0.0, 25e-3),
+                  annular_mask(grid, lam, 40e-3, 150e-3)])
+    )
+    smat = prism_smatrix(plan, v, prop, sigma, dtype=jnp.complex128)
+    fn = jax.jit(lambda sm, p: prism_raster(sm, plan, p, masks))
+    ref = fn(smat, pos)
+
+    mesh = make_mesh()
+    pos_sh = shard_measurements(mesh, pos)
+    smat_rep = jax.device_put(smat, replicated(mesh))
+    out = fn(smat_rep, pos_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12, atol=1e-13)
