@@ -246,3 +246,37 @@ def test_ctf_traced_higher_orders_match_host_and_differentiate():
     grads = jax.grad(power, argnums=(0, 1, 2, 3))(4e4, 3e4, 1.5e6, 1.1e6)
     for gv in grads:
         assert np.isfinite(float(gv)) and float(gv) != 0.0
+
+
+def test_fresnel_gaussian_spreading_analytic():
+    """Free-space propagation of a Gaussian beam matches the closed form.
+
+    For psi_0 = exp(-r^2 / (2 w^2)) under the paraxial kernel
+    exp(-i*pi*lambda*q^2*z), the intensity stays Gaussian with variance
+    sigma^2(z) = (w^4 + (lambda*z / 2*pi)^2) / (2 w^2) per axis — a
+    quantitative check of the propagator's lambda*z scaling, not just its
+    unitarity/identity limits."""
+    import jax.numpy as jnp
+
+    n = 256
+    px = 0.05
+    grid = Grid(ny=n, nx=n, py=px, px=px)
+    lam = wavelength_A(300e3)
+    w = 0.6  # Å; safely sampled and far from the box edge
+    y, x = grid.xy_grids()
+    yc, xc = y - y.mean(), x - x.mean()
+    psi0 = np.exp(-(yc**2 + xc**2) / (2 * w**2)).astype(np.complex128)
+
+    for z in (0.0, 50.0, 200.0):
+        prop = fresnel_propagator(grid, lam, z, bandlimit=None)
+        psi = np.asarray(
+            jnp.fft.ifft2(jnp.fft.fft2(jnp.asarray(psi0)) * jnp.asarray(prop))
+        )
+        inten = np.abs(psi) ** 2
+        inten /= inten.sum()
+        var_y = float((inten * yc**2).sum())
+        var_x = float((inten * xc**2).sum())
+        b = lam * z / (2 * np.pi)
+        var_pred = (w**4 + b**2) / (2 * w**2)
+        np.testing.assert_allclose(var_y, var_pred, rtol=1e-6)
+        np.testing.assert_allclose(var_x, var_pred, rtol=1e-6)
