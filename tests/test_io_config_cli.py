@@ -284,3 +284,16 @@ def test_cli_stem_dpc_and_com(tmp_path):
     np.testing.assert_allclose(stem[1:].sum(axis=0), stem[0], rtol=1e-5)
     com = np.load(tmp_path / "out" / "stem_com.npy")
     assert com.shape == (2, 2, 2) and np.isfinite(com).all()
+
+
+def test_example_configs_parse():
+    """Every shipped example config loads through the typed config system."""
+    import glob
+
+    from fdes_tpu.config import load_config
+
+    paths = sorted(glob.glob(os.path.join(REPO, "examples", "*.toml")))
+    assert len(paths) >= 4
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.mode in ("forward", "hrtem", "stem", "stem4d", "invert")
