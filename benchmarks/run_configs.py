@@ -197,7 +197,11 @@ def config3(scale, step_kind):
     grid, sliced, kv, lam, sigma, v_true, prop, psi0 = _sim(scale, 512, 64)
     defoci, ctfs = _ctf_stack(grid, lam)
     chunk = pick_remat_chunk(sliced.nslices)
-    i_obs = f.hrtem_defocus_series(v_true, psi0, prop, sigma, ctfs)
+    # jit the synthesis: eager op-by-op dispatch is pathological through
+    # remote-tunnel runtimes (each op a round trip)
+    i_obs = jax.jit(
+        lambda vv, p0, pr, cs: f.hrtem_defocus_series(vv, p0, pr, sigma, cs)
+    )(v_true, psi0, prop, ctfs)
 
     def loss_fn(v, psi0, prop, ctfs, i_obs):
         sim = f.hrtem_defocus_series(
@@ -326,7 +330,9 @@ def config5(scale, step_kind):
     ctf1 = jax.device_put(
         host_cast(f.ctf_series(grid, lam, np.array([100.0]))[0], jnp.complex64)
     )
-    i_obs = f.hrtem_tilt_series(v_true, psi0s, props, sigma, ctf1)
+    i_obs = jax.jit(
+        lambda vv, p0, pr, c1: f.hrtem_tilt_series(vv, p0, pr, sigma, c1)
+    )(v_true, psi0s, props, ctf1)
 
     def loss_fn(v, psi0s, props, ctf1, i_obs):
         sim = f.hrtem_tilt_series(v, psi0s, props, sigma, ctf1, remat_chunk=None)
