@@ -280,3 +280,38 @@ def test_fresnel_gaussian_spreading_analytic():
         var_pred = (w**4 + b**2) / (2 * w**2)
         np.testing.assert_allclose(var_y, var_pred, rtol=1e-6)
         np.testing.assert_allclose(var_x, var_pred, rtol=1e-6)
+
+
+def test_weak_phase_object_pctf_sine_transfer():
+    """Linear imaging theory: for a weak phase object psi = exp(i*sigma*V)
+    and CTF = exp(-i*chi), the image spectrum obeys the phase-contrast
+    transfer function  FFT[I - 1](q) ~= 2*sigma*V_hat(q)*sin(chi(q))
+    (Kirkland ch. 5) — checks hrtem_image + chi sign conventions jointly."""
+    import jax.numpy as jnp
+
+    from fdes_tpu.imaging import hrtem_image
+    from fdes_tpu.optics import Aberrations, chi
+
+    n = 64
+    grid = Grid(ny=n, nx=n, py=0.25, px=0.25)
+    lam = wavelength_A(300e3)
+    rng = np.random.default_rng(23)
+    # weak, band-limited, zero-DC phase: sigma*V ~ 1e-3 rad
+    vq = (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    mask = grid.bandlimit_mask(0.5)
+    v = np.real(np.fft.ifft2(vq * mask))
+    v -= v.mean()
+    sigma_v = 1e-3 * v / np.abs(v).max()
+
+    ab = Aberrations(defocus=300.0, cs=0.5e7)
+    x = chi(grid, lam, ab)
+    ctf = jnp.asarray(np.exp(-1j * x))
+    psi = jnp.asarray(np.exp(1j * sigma_v))
+    img = np.asarray(hrtem_image(psi, ctf))
+
+    lhs = np.fft.fft2(img - 1.0)
+    rhs = 2.0 * np.fft.fft2(sigma_v) * np.sin(x)
+    # compare on the nonzero-transfer in-band modes, away from sin-chi zeros
+    sel = (np.abs(np.sin(x)) > 0.3) & (mask > 0)
+    sel[0, 0] = False
+    np.testing.assert_allclose(lhs[sel], rhs[sel], rtol=0, atol=2e-3 * np.abs(rhs[sel]).max())
