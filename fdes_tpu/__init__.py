@@ -13,11 +13,12 @@ from .forward import (
     exit_wave,
     hrtem_defocus_series,
     hrtem_tilt_series,
+    stem_com_raster,
     stem_raster,
     stem_raster_4d,
 )
 from .grids import Grid, fresnel_propagator
-from .loss import l2_mismatch, make_loss, tikhonov, total_variation
+from .loss import l2_mismatch, make_loss, poisson_nll, tikhonov, total_variation
 from .optics import Aberrations, aperture, chi, ctf, ctf_series, ctf_traced, envelopes
 from .potential import build_potential, build_potential_exact
 from .probe import plane_wave, probe_from_stencil, probe_stencil
@@ -58,6 +59,7 @@ __all__ = [
     "hrtem_tilt_series",
     "interaction_sigma",
     "l2_mismatch",
+    "poisson_nll",
     "load_config",
     "load_kirkland_table",
     "lorentz_gamma",
@@ -83,6 +85,7 @@ __all__ = [
     "shard_measurements",
     "sharded_value_and_grad",
     "slice_specimen",
+    "stem_com_raster",
     "stem_raster",
     "stem_raster_4d",
     "tikhonov",
