@@ -18,8 +18,19 @@ from .forward import (
     stem_raster_4d,
 )
 from .grids import Grid, fresnel_propagator
+from .imaging import hrtem_image, hrtem_incoherent, hrtem_series
 from .loss import l2_mismatch, make_loss, poisson_nll, tikhonov, total_variation
-from .optics import Aberrations, aperture, chi, ctf, ctf_series, ctf_traced, envelopes
+from .optics import (
+    Aberrations,
+    aperture,
+    chi,
+    ctf,
+    ctf_quadrature,
+    ctf_quadrature_series,
+    ctf_series,
+    ctf_traced,
+    envelopes,
+)
 from .potential import build_potential, build_potential_exact
 from .probe import plane_wave, probe_from_stencil, probe_stencil
 from .phonon import phonon_average, phonon_configs, phonon_sliced
@@ -50,12 +61,17 @@ __all__ = [
     "build_potential_exact",
     "chi",
     "ctf",
+    "ctf_quadrature",
+    "ctf_quadrature_series",
     "ctf_series",
     "ctf_traced",
     "envelopes",
     "exit_wave",
     "fresnel_propagator",
     "hrtem_defocus_series",
+    "hrtem_image",
+    "hrtem_incoherent",
+    "hrtem_series",
     "hrtem_tilt_series",
     "interaction_sigma",
     "l2_mismatch",

@@ -184,7 +184,8 @@ def main(argv: list[str] | None = None) -> int:
             imgs = sum(
                 hrtem_tilt_series(
                     v, sim.psi0_stack, sim.prop_stack, sim.sigma,
-                    sim.ctf_stack[0], slice_step=slice_step,
+                    sim.ctf_stack[0], weights=sim.ctf_weights,
+                    slice_step=slice_step,
                 )
                 for v in stacks
             ) / len(stacks)
@@ -192,7 +193,7 @@ def main(argv: list[str] | None = None) -> int:
             imgs = sum(
                 hrtem_defocus_series(
                     v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
-                    slice_step=slice_step,
+                    weights=sim.ctf_weights, slice_step=slice_step,
                 )
                 for v in stacks
             ) / len(stacks)
@@ -339,13 +340,15 @@ def main(argv: list[str] | None = None) -> int:
             def fwd(v):
                 return hrtem_tilt_series(
                     v, sim.psi0_stack, sim.prop_stack, sim.sigma,
-                    sim.ctf_stack[0], remat_chunk=chunk, slice_step=slice_step,
+                    sim.ctf_stack[0], weights=sim.ctf_weights,
+                    remat_chunk=chunk, slice_step=slice_step,
                 )
         else:
             def fwd(v):
                 return hrtem_defocus_series(
                     v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
-                    remat_chunk=chunk, slice_step=slice_step,
+                    weights=sim.ctf_weights, remat_chunk=chunk,
+                    slice_step=slice_step,
                 )
 
         if cfg.observed_path:

@@ -72,6 +72,13 @@ class OpticsParams:
     aperture_rad: float = 0.0
     defocus_spread_A: float = 0.0
     source_semiangle_rad: float = 0.0
+    #: partial-coherence model: "envelope" = closed-form E_t*E_s damping
+    #: (linear-imaging approximation, the reference's model); "explicit" =
+    #: incoherent quadrature average over the defocus/source distributions
+    #: (optics.ctf_quadrature — exact for strong objects, differentiable)
+    coherence: str = "envelope"
+    quad_defocus: int = 7  # Gauss-Hermite nodes on the focal axis
+    quad_tilt: int = 5  # Gauss-Hermite nodes per source-tilt axis
 
 
 @dataclasses.dataclass(frozen=True)

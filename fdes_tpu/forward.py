@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .detector import detector_signal
-from .imaging import hrtem_image
+from .imaging import hrtem_image, hrtem_incoherent
 from .probe import probe_from_stencil
 from .propagate import multislice
 
@@ -52,6 +52,7 @@ def hrtem_defocus_series(
     sigma: float,
     ctf_stack: jax.Array,
     *,
+    weights: jax.Array | None = None,
     remat_chunk: int | None = None,
     slice_step: Callable[..., jax.Array] | None = None,
 ) -> jax.Array:
@@ -61,11 +62,17 @@ def hrtem_defocus_series(
     defocus), so this is multislice once + vmap over the CTF stack — the
     reference recomputes the rollout per image (SURVEY.md §3.1); sharing it
     is both exact and D× cheaper.
+
+    ``weights``: when given, ctf_stack is a (D, K, ny, nx) quadrature pack
+    (optics.ctf_quadrature_series) and each image is the explicit
+    partial-coherence average over the K nodes (imaging.hrtem_incoherent).
     """
     psi = multislice(
         psi0, v_stack, propagator, sigma, remat_chunk=remat_chunk,
         slice_step=slice_step,
     )
+    if weights is not None:
+        return jax.vmap(lambda cq: hrtem_incoherent(psi, cq, weights))(ctf_stack)
     return jax.vmap(lambda c: hrtem_image(psi, c))(ctf_stack)
 
 
@@ -76,6 +83,7 @@ def hrtem_tilt_series(
     sigma: float,
     ctf: jax.Array,
     *,
+    weights: jax.Array | None = None,
     remat_chunk: int | None = None,
     slice_step: Callable[..., jax.Array] | None = None,
 ) -> jax.Array:
@@ -84,6 +92,9 @@ def hrtem_tilt_series(
     Tilt changes the propagator (SURVEY.md Appendix A tilt term) and the
     incident wave, so each tilt is an independent rollout — this is the
     shardable "rollout batch" axis for inverse tilt tomography.
+
+    ``weights``: when given, ``ctf`` is a (K, ny, nx) quadrature pack and
+    each image is the explicit partial-coherence average over the K nodes.
     """
 
     def one(psi0, prop):
@@ -91,6 +102,8 @@ def hrtem_tilt_series(
             psi0, v_stack, prop, sigma, remat_chunk=remat_chunk,
             slice_step=slice_step,
         )
+        if weights is not None:
+            return hrtem_incoherent(psi, ctf, weights)
         return hrtem_image(psi, ctf)
 
     return jax.vmap(one)(psi0_stack, propagator_stack)

@@ -23,6 +23,23 @@ def hrtem_series(psi_exit: jax.Array, ctf_stack: jax.Array) -> jax.Array:
     return jax.vmap(lambda c: hrtem_image(psi_exit, c))(ctf_stack)
 
 
+def hrtem_incoherent(
+    psi_exit: jax.Array, ctf_quad: jax.Array, weights: jax.Array
+) -> jax.Array:
+    """Explicit partial-coherence image: sum_k w_k |IFFT[CTF_k FFT psi]|^2.
+
+    ctf_quad: (K, ny, nx) coherent quadrature CTFs and (K,) weights from
+    optics.ctf_quadrature — exact beyond the linear-imaging regime where the
+    closed-form envelopes (optics.envelopes) stop being valid.  One FFT of
+    psi is shared across all K nodes.
+    """
+    spec = jnp.fft.fft2(psi_exit)
+    imgs = jax.vmap(
+        lambda c: jnp.abs(jnp.fft.ifft2(spec * c.astype(spec.dtype))) ** 2
+    )(ctf_quad)
+    return jnp.tensordot(weights.astype(imgs.dtype), imgs, axes=1)
+
+
 def apply_mtf(image: jax.Array, mtf: jax.Array) -> jax.Array:
     """Detector modulation-transfer function: real-space convolution as a
     Fourier multiply. mtf is a real (ny, nx) grid in fft layout."""

@@ -21,6 +21,7 @@ one stacked host array (SURVEY.md C10/C11, vmapped in imaging.py).
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import numpy as np
 
@@ -68,6 +69,18 @@ def chi(grid: Grid, wavelength_A: float, ab: Aberrations) -> np.ndarray:
     below are algebraically identical to SURVEY.md Appendix A's form.
     """
     qy, qx = grid.q_grids()
+    return chi_on(qy, qx, wavelength_A, ab)
+
+
+def chi_on(
+    qy: np.ndarray, qx: np.ndarray, wavelength_A: float, ab: Aberrations
+) -> np.ndarray:
+    """chi evaluated on explicit (broadcastable) f64 frequency grids.
+
+    Split out of `chi` so partial-coherence quadrature (`ctf_quadrature`)
+    can evaluate the tilt-shifted transfer chi(q + kappa) exactly instead of
+    through the first-order source envelope.
+    """
     q2 = qy * qy + qx * qx
     lam = wavelength_A
     phase = np.pi * lam * ab.defocus * q2
@@ -142,6 +155,105 @@ def ctf(
         grid, wavelength_A, ab, defocus_spread_A, source_semiangle_rad
     )
     return amp * np.exp(-1j * chi(grid, wavelength_A, ab))
+
+
+def ctf_quadrature(
+    grid: Grid,
+    wavelength_A: float,
+    ab: Aberrations,
+    aperture_semiangle_rad: float = 0.0,
+    defocus_spread_A: float = 0.0,
+    source_semiangle_rad: float = 0.0,
+    n_defocus: int = 7,
+    n_tilt: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coherent-CTF quadrature stack for EXPLICIT partial-coherence averaging.
+
+    The closed-form envelopes in `envelopes` are exact only for LINEAR
+    (weak-phase) imaging; for strong objects — and therefore inside the
+    inverse problem — the correct model is the incoherent superposition
+
+        I = sum_k w_k |IFFT[CTF_k FFT psi_exit]|^2
+
+    over the microscope's defocus and source distributions (the
+    transmission-cross-coefficient treatment; the reference bakes in the
+    envelope approximation only, SURVEY.md C10).  Distributions match the
+    envelope conventions in `envelopes` exactly, so the two models agree in
+    the weak-phase limit (pinned by tests):
+
+    - temporal: Gaussian defocus spread, std ``defocus_spread_A``
+      (E_t = exp(-0.5 (pi lam Delta)^2 q^4) is its Fourier transform);
+    - spatial: isotropic Gaussian beam-tilt distribution with 1/e half-angle
+      ``source_semiangle_rad`` (per-axis std theta_c/sqrt(2)); each tilt
+      node evaluates the exactly shifted transfer chi(q + kappa),
+      kappa = beta/lam, including the shifted aperture.
+
+    Gauss-Hermite nodes: ``n_defocus`` for the focal axis, ``n_tilt`` per
+    tilt axis (K = n_defocus * n_tilt^2 total; axes with zero spread
+    collapse to a single node).  Returns (K, ny, nx) complex128 CTFs and
+    (K,) f64 weights summing to 1.
+    """
+    lam = wavelength_A
+    if defocus_spread_A > 0.0 and n_defocus > 1:
+        xf, wf = np.polynomial.hermite.hermgauss(n_defocus)
+        df_nodes = ab.defocus + math.sqrt(2.0) * defocus_spread_A * xf
+        df_w = wf / math.sqrt(math.pi)
+    else:
+        df_nodes, df_w = np.array([ab.defocus]), np.array([1.0])
+    if source_semiangle_rad > 0.0 and n_tilt > 1:
+        xt, wt = np.polynomial.hermite.hermgauss(n_tilt)
+        tilt_nodes = source_semiangle_rad * xt  # beta = theta_c * x (1/e conv.)
+        tilt_w = wt / math.sqrt(math.pi)
+    else:
+        tilt_nodes, tilt_w = np.array([0.0]), np.array([1.0])
+
+    qy, qx = grid.q_grids()
+    qmax2 = None
+    if aperture_semiangle_rad > 0.0:
+        qmax2 = (aperture_semiangle_rad / lam) ** 2
+
+    ctfs, weights = [], []
+    for df, w_f in zip(df_nodes, df_w):
+        ab_k = dataclasses.replace(ab, defocus=float(df))
+        for by, w_y in zip(tilt_nodes, tilt_w):
+            for bx, w_x in zip(tilt_nodes, tilt_w):
+                sy, sx = qy + by / lam, qx + bx / lam
+                c = np.exp(-1j * chi_on(sy, sx, lam, ab_k))
+                if qmax2 is not None:
+                    c = c * (sy * sy + sx * sx <= qmax2)
+                ctfs.append(c)
+                weights.append(w_f * w_y * w_x)
+    return np.stack(ctfs), np.asarray(weights, dtype=np.float64)
+
+
+def ctf_quadrature_series(
+    grid: Grid,
+    wavelength_A: float,
+    defoci_A: np.ndarray,
+    base: Aberrations = Aberrations(),
+    aperture_semiangle_rad: float = 0.0,
+    defocus_spread_A: float = 0.0,
+    source_semiangle_rad: float = 0.0,
+    n_defocus: int = 7,
+    n_tilt: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-defocus quadrature stacks: (D, K, ny, nx) CTFs + shared (K,) weights."""
+    stacks = []
+    weights = None
+    for df in np.asarray(defoci_A, dtype=np.float64):
+        c, w = ctf_quadrature(
+            grid,
+            wavelength_A,
+            dataclasses.replace(base, defocus=float(df)),
+            aperture_semiangle_rad,
+            defocus_spread_A,
+            source_semiangle_rad,
+            n_defocus,
+            n_tilt,
+        )
+        stacks.append(c)
+        weights = w
+    return np.stack(stacks), weights
 
 
 def ctf_traced(

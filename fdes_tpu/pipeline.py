@@ -39,10 +39,14 @@ class Sim:
     v_stack: object  # (S, ny, nx) device array, V*Å
     propagator: object  # (ny, nx) device complex
     psi0: object  # (ny, nx) device complex incident wave
-    ctf_stack: object  # (D, ny, nx) device complex
+    ctf_stack: object  # (D, ny, nx) device complex; (D, K, ny, nx) explicit
     aberrations: Aberrations
     psi0_stack: object = None  # (T, ny, nx) tilt-series incident waves
     prop_stack: object = None  # (T, ny, nx) tilt-series propagators
+    #: (K,) quadrature weights when optics.coherence == "explicit"
+    #: (forward passes them to the incoherent-average imaging path);
+    #: None for the closed-form envelope model.
+    ctf_weights: object = None
 
 
 def _dtypes(name: str):
@@ -116,20 +120,43 @@ def setup(cfg: Config) -> Sim:
         a3=cfg.optics.a3_A,
         a3_angle=cfg.optics.a3_angle_rad,
     )
-    ctfs = jnp.asarray(
-        host_cast(
-            ctf_series(
-                grid,
-                lam,
-                np.asarray(cfg.optics.defoci_A, dtype=np.float64),
-                base=ab,
-                aperture_semiangle_rad=cfg.optics.aperture_rad,
-                defocus_spread_A=cfg.optics.defocus_spread_A,
-                source_semiangle_rad=cfg.optics.source_semiangle_rad,
-            ),
-            cdt,
+    ctf_weights = None
+    if cfg.optics.coherence == "explicit":
+        from .optics import ctf_quadrature_series
+
+        quads, weights = ctf_quadrature_series(
+            grid,
+            lam,
+            np.asarray(cfg.optics.defoci_A, dtype=np.float64),
+            base=ab,
+            aperture_semiangle_rad=cfg.optics.aperture_rad,
+            defocus_spread_A=cfg.optics.defocus_spread_A,
+            source_semiangle_rad=cfg.optics.source_semiangle_rad,
+            n_defocus=cfg.optics.quad_defocus,
+            n_tilt=cfg.optics.quad_tilt,
         )
-    )
+        ctfs = jnp.asarray(host_cast(quads, cdt))
+        ctf_weights = jnp.asarray(weights.astype(np.float32 if rdt == jnp.float32 else np.float64))
+    elif cfg.optics.coherence == "envelope":
+        ctfs = jnp.asarray(
+            host_cast(
+                ctf_series(
+                    grid,
+                    lam,
+                    np.asarray(cfg.optics.defoci_A, dtype=np.float64),
+                    base=ab,
+                    aperture_semiangle_rad=cfg.optics.aperture_rad,
+                    defocus_spread_A=cfg.optics.defocus_spread_A,
+                    source_semiangle_rad=cfg.optics.source_semiangle_rad,
+                ),
+                cdt,
+            )
+        )
+    else:
+        raise ValueError(
+            f"optics.coherence must be 'envelope' or 'explicit', got "
+            f"{cfg.optics.coherence!r}"
+        )
     psi0_stack = prop_stack = None
     if cfg.sim.tilt_series_rad:
         # Specimen-tilt convention: the beam stays along z (untilted plane
@@ -170,6 +197,7 @@ def setup(cfg: Config) -> Sim:
         aberrations=ab,
         psi0_stack=psi0_stack,
         prop_stack=prop_stack,
+        ctf_weights=ctf_weights,
     )
 
 

@@ -297,3 +297,32 @@ def test_example_configs_parse():
     for p in paths:
         cfg = load_config(p)
         assert cfg.mode in ("forward", "hrtem", "stem", "stem4d", "invert")
+
+
+def test_cli_hrtem_explicit_coherence(tmp_path):
+    """optics.coherence='explicit' runs the quadrature TCC path end-to-end
+    and converges to the envelope images in this weak-contrast regime."""
+    imgs = {}
+    for coh in ("envelope", "explicit"):
+        cfg = _write_small_cfg(tmp_path, "hrtem")
+        text = cfg.read_text().replace(
+            "[optics]",
+            "[optics]\n"
+            f'coherence = "{coh}"\n'
+            "defocus_spread_A = 20.0\n"
+            "source_semiangle_rad = 0.0003\n"
+            "quad_defocus = 9\nquad_tilt = 5\n",
+        ).replace(f"{tmp_path}/out", f"{tmp_path}/out_{coh}")
+        cfg.write_text(text)
+        r = subprocess.run(
+            [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+            env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        imgs[coh] = np.load(tmp_path / f"out_{coh}" / "images.npy")
+    assert imgs["explicit"].shape == imgs["envelope"].shape
+    # Si phases here are not weak (sigma*V ~ 1 rad), so only demand the
+    # models agree at the few-percent level; equality in the weak-phase
+    # limit is pinned in tests/test_physics.py.
+    scale = np.abs(imgs["envelope"] - imgs["envelope"].mean()).max()
+    assert np.abs(imgs["explicit"] - imgs["envelope"]).max() < 0.2 * scale

@@ -315,3 +315,94 @@ def test_weak_phase_object_pctf_sine_transfer():
     sel = (np.abs(np.sin(x)) > 0.3) & (mask > 0)
     sel[0, 0] = False
     np.testing.assert_allclose(lhs[sel], rhs[sel], rtol=0, atol=2e-3 * np.abs(rhs[sel]).max())
+
+
+def test_ctf_quadrature_collapses_and_normalises():
+    """Zero spreads -> single node equal to the coherent CTF; weights sum
+    to 1 for every spread combination."""
+    from fdes_tpu.optics import Aberrations, ctf, ctf_quadrature
+
+    grid = Grid(ny=32, nx=32, py=0.3, px=0.3)
+    lam = wavelength_A(300e3)
+    ab = Aberrations(defocus=150.0, cs=0.2e7)
+
+    c, w = ctf_quadrature(grid, lam, ab, aperture_semiangle_rad=25e-3)
+    assert c.shape == (1, 32, 32)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(
+        c[0], ctf(grid, lam, ab, aperture_semiangle_rad=25e-3), atol=1e-12
+    )
+
+    for dd, tc, k in [(30.0, 0.0, 7), (0.0, 0.5e-3, 25), (30.0, 0.5e-3, 175)]:
+        c, w = ctf_quadrature(
+            grid, lam, ab, defocus_spread_A=dd, source_semiangle_rad=tc,
+            n_defocus=7, n_tilt=5,
+        )
+        assert c.shape[0] == k
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+        assert np.all(w > 0)
+
+
+def test_explicit_focal_average_matches_temporal_envelope_weak_phase():
+    """Weak-phase limit: the explicit Gauss-Hermite focal average must
+    reproduce the closed-form temporal envelope E_t (the envelope is EXACT
+    there: E[exp(-i*pi*lam*delta*q^2)] over the Gaussian focal distribution
+    IS E_t).  Pins the quadrature node/weight conventions to `envelopes`."""
+    import jax.numpy as jnp
+
+    from fdes_tpu.imaging import hrtem_image, hrtem_incoherent
+    from fdes_tpu.optics import Aberrations, ctf, ctf_quadrature
+
+    n = 64
+    grid = Grid(ny=n, nx=n, py=0.4, px=0.4)
+    lam = wavelength_A(300e3)
+    rng = np.random.default_rng(7)
+    v = np.real(np.fft.ifft2(np.fft.fft2(rng.normal(size=(n, n))) * grid.bandlimit_mask(0.6)))
+    v -= v.mean()
+    phase = 1e-3 * v / np.abs(v).max()
+    psi = jnp.asarray(np.exp(1j * phase))
+
+    ab = Aberrations(defocus=250.0, cs=0.3e7)
+    spread = 40.0  # pi*lam*Delta*q^2 <= ~1.9 in-band: well inside GH reach
+    env_img = np.asarray(
+        hrtem_image(psi, jnp.asarray(ctf(grid, lam, ab, defocus_spread_A=spread)))
+    )
+    cq, w = ctf_quadrature(grid, lam, ab, defocus_spread_A=spread, n_defocus=15)
+    exp_img = np.asarray(hrtem_incoherent(psi, jnp.asarray(cq), jnp.asarray(w)))
+
+    # contrast fields agree to the linear-imaging error O(phase) ~ 1e-3 rel
+    lhs, rhs = exp_img - exp_img.mean(), env_img - env_img.mean()
+    scale = np.abs(rhs).max()
+    np.testing.assert_allclose(lhs, rhs, rtol=0, atol=3e-3 * scale)
+    # and the average genuinely damps contrast vs the coherent image
+    coh = np.asarray(hrtem_image(psi, jnp.asarray(ctf(grid, lam, ab))))
+    assert exp_img.std() < 0.98 * coh.std()
+
+
+def test_explicit_source_average_matches_spatial_envelope_weak_phase():
+    """Same pin for the source (beam-tilt) axis: with defocus-only chi the
+    tilt-shifted transfer is exactly linear in the tilt, so the explicit
+    average must match the E_s envelope in the weak-phase limit."""
+    import jax.numpy as jnp
+
+    from fdes_tpu.imaging import hrtem_image, hrtem_incoherent
+    from fdes_tpu.optics import Aberrations, ctf, ctf_quadrature
+
+    n = 64
+    grid = Grid(ny=n, nx=n, py=0.4, px=0.4)
+    lam = wavelength_A(300e3)
+    rng = np.random.default_rng(11)
+    v = np.real(np.fft.ifft2(np.fft.fft2(rng.normal(size=(n, n))) * grid.bandlimit_mask(0.6)))
+    v -= v.mean()
+    psi = jnp.asarray(np.exp(1j * (1e-3 * v / np.abs(v).max())))
+
+    ab = Aberrations(defocus=400.0)  # defocus-only: kappa-shift exactly linear
+    theta_c = 0.6e-3
+    env_img = np.asarray(
+        hrtem_image(psi, jnp.asarray(ctf(grid, lam, ab, source_semiangle_rad=theta_c)))
+    )
+    cq, w = ctf_quadrature(grid, lam, ab, source_semiangle_rad=theta_c, n_tilt=7)
+    exp_img = np.asarray(hrtem_incoherent(psi, jnp.asarray(cq), jnp.asarray(w)))
+
+    lhs, rhs = exp_img - exp_img.mean(), env_img - env_img.mean()
+    np.testing.assert_allclose(lhs, rhs, rtol=0, atol=3e-3 * np.abs(rhs).max())
