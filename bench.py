@@ -67,12 +67,16 @@ def main() -> int:
     import jax.errors
 
     attempts = int(os.environ.get("FDES_BENCH_ATTEMPTS", "6"))
+    # Overall wall-clock budget: a half-up tunnel (dispatch works, readback
+    # stalls -> TimeoutError from fetch) must not spin the retry loop past
+    # the driver's patience; fail fast once the deadline passes.
+    deadline = time.time() + float(os.environ.get("FDES_BENCH_DEADLINE_S", "2400"))
     for attempt in range(attempts):
         try:
             return _measure()
-        except jax.errors.JaxRuntimeError as e:
+        except (jax.errors.JaxRuntimeError, TimeoutError) as e:
             print(f"# bench attempt {attempt + 1}/{attempts} failed: {e}", file=sys.stderr)
-            if attempt == attempts - 1:
+            if attempt == attempts - 1 or time.time() > deadline:
                 raise
             # tunnel outages last minutes, not seconds: back off 1->5 min
             time.sleep(min(60.0 * (attempt + 1), 300.0))

@@ -69,16 +69,47 @@ def fetch_scalar(x, tries: int = 30, wait_s: float = 20.0) -> float:
 
 def fetch_array(x, tries: int = 30, wait_s: float = 20.0):
     """Full device->host readback with the same retry discipline as
-    fetch_scalar (returns np.ndarray)."""
+    fetch_scalar (returns np.ndarray).
+
+    Two tunnel failure modes are handled: the readback RAISES transiently
+    (UNIMPLEMENTED while the remote queue drains) or it BLOCKS outright
+    (half-up tunnel: dispatch succeeds, fetch stalls forever).  Each attempt
+    therefore runs in a watchdog thread joined with a `wait_s` timeout — a
+    stalled attempt is abandoned (daemon thread; reads are side-effect-free)
+    and retried, so a recovered tunnel turns a would-be infinite hang into a
+    late success, and a dead one into TimeoutError instead of a silent hang.
+    """
+    import threading
+
     import numpy as np
 
     import jax.errors
 
+    last_err = None
     for i in range(tries):
-        try:
-            return np.asarray(x)
-        except jax.errors.JaxRuntimeError:
-            if i == tries - 1:
-                raise
-            time.sleep(wait_s)
-    raise RuntimeError("unreachable")
+        box: dict = {}
+
+        def work(box=box):
+            try:
+                box["value"] = np.asarray(x)
+            except Exception as e:  # noqa: BLE001 — re-raised on the caller side
+                box["error"] = e
+
+        t = threading.Thread(target=work, daemon=True, name="fdes-fetch")
+        t.start()
+        t.join(wait_s)
+        if "value" in box:
+            return box["value"]
+        last_err = box.get("error")
+        if last_err is not None and not isinstance(last_err, jax.errors.JaxRuntimeError):
+            raise last_err  # programming error, not a transient
+        if i == tries - 1:
+            break
+        if last_err is not None:
+            time.sleep(wait_s)  # fast-failing error: back off before retrying
+        # stalled attempt: the join(wait_s) already WAS the backoff
+    if last_err is not None:
+        raise last_err
+    raise TimeoutError(
+        f"device->host readback stalled for {tries * wait_s:.0f}s (TPU tunnel down?)"
+    )
