@@ -78,8 +78,12 @@ def main() -> int:
             print(f"# bench attempt {attempt + 1}/{attempts} failed: {e}", file=sys.stderr)
             if attempt == attempts - 1 or time.time() > deadline:
                 raise
-            # tunnel outages last minutes, not seconds: back off 1->5 min
-            time.sleep(min(60.0 * (attempt + 1), 300.0))
+            # tunnel outages last minutes, not seconds: back off 1->5 min,
+            # but never sleep past the deadline (the budget must bound the
+            # NEXT attempt, not just the previous failure).
+            time.sleep(min(60.0 * (attempt + 1), 300.0, max(deadline - time.time(), 0.0)))
+            if time.time() > deadline:
+                raise
     return 1
 
 
@@ -108,13 +112,18 @@ def _measure() -> int:
     # Big arrays travel as jit ARGUMENTS (device_put once, reused): a
     # device-array closure forces a trace-time device->host readback, and a
     # multi-MB host-constant closure bloats the HLO payload (both
-    # pathological on remote-tunnel TPU runtimes).
-    prop = jax.device_put(host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64))
-    stencil = jax.device_put(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
-    qy = jax.device_put(host_cast(grid.qy()[:, None], jnp.float32))
-    qx = jax.device_put(host_cast(grid.qx()[None, :], jnp.float32))
+    # pathological on remote-tunnel TPU runtimes).  Complex constants MUST
+    # go through safe_put — a raw complex64 device_put is UNIMPLEMENTED on
+    # the tunnel and poisons the whole process (fdes_tpu/tunnel.py; this is
+    # what killed BENCH_r01).
+    from fdes_tpu.tunnel import safe_put
+
+    prop = safe_put(host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64))
+    stencil = safe_put(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
+    qy = safe_put(host_cast(grid.qy()[:, None], jnp.float32))
+    qx = safe_put(host_cast(grid.qx()[None, :], jnp.float32))
     rng = np.random.default_rng(0)
-    pos = jax.device_put(
+    pos = safe_put(
         (rng.random((nprobes, 2)) * np.array([grid.extent[0], grid.extent[1]])).astype(
             np.float32
         )

@@ -41,11 +41,13 @@ def main():
     from fdes_tpu.grids import Grid, host_cast
     from fdes_tpu.profiling import fetch_scalar
     from fdes_tpu.propagate import make_slice_step, multislice
+    from fdes_tpu.tunnel import safe_put
 
     kinds = (sys.argv[1] if len(sys.argv) > 1 else "xla,pallas,mxu").split(",")
     sizes = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "256,512").split(",")]
     nslices = int(os.environ.get("FDES_STEPS_SLICES", "64"))
     reps = int(os.environ.get("FDES_STEPS_REPS", "8"))
+    batch = int(os.environ.get("FDES_STEPS_BATCH", "1"))  # waves per rollout
 
     kv = 300e3
     lam = f.wavelength_A(kv)
@@ -55,17 +57,25 @@ def main():
 
     for n in sizes:
         grid = Grid(ny=n, nx=n, py=0.1, px=0.1)
-        v = jax.device_put(rng.normal(size=(nslices, n, n)).astype(np.float32) * 30.0)
-        prop = jax.device_put(
-            host_cast(f.fresnel_propagator(grid, lam, 2.0), jnp.complex64)
+        # safe_put, not device_put: complex transfers are UNIMPLEMENTED on
+        # the tunnel and poison the process (fdes_tpu/tunnel.py).
+        v = safe_put(rng.normal(size=(nslices, n, n)).astype(np.float32) * 30.0)
+        prop = safe_put(host_cast(f.fresnel_propagator(grid, lam, 2.0), jnp.complex64))
+        shape0 = (batch, n, n) if batch > 1 else (n, n)
+        psi0 = safe_put(
+            (
+                rng.random(shape0) + 1j * rng.random(shape0)
+            ).astype(np.complex64)
         )
-        psi0 = jax.device_put(np.ones((n, n), np.complex64))
         for kind in kinds:
             step = make_slice_step(kind, shape=(n, n))
-            fn = jax.jit(
-                lambda p, vv, pr, st=step: multislice(p, vv, pr, sigma, slice_step=st)
-            )
-            pick = jax.jit(lambda a: jnp.abs(a[0, 0]).reshape(1))
+
+            def run(p, vv, pr, st=step):
+                roll = lambda p0: multislice(p0, vv, pr, sigma, slice_step=st)  # noqa: E731
+                return jax.vmap(roll)(p) if batch > 1 else roll(p)
+
+            fn = jax.jit(run)
+            pick = jax.jit(lambda a: jnp.abs(a.reshape(-1)[:1]))
             t0 = time.time()
             p = fn(psi0, v, prop)
             # fetch a single element: completion barrier for the compile run.
@@ -81,9 +91,10 @@ def main():
             rec = {
                 "n": n,
                 "nslices": nslices,
+                "batch": batch,
                 "kind": kind,
                 "rollout_ms": round(dt * 1e3, 3),
-                "slice_props_per_s": round(nslices / dt, 1),
+                "slice_props_per_s": round(batch * nslices / dt, 1),
                 "compile_s": round(compile_s, 1),
                 "backend": jax.default_backend(),
                 "sync": "fetch",

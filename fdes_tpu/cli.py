@@ -74,10 +74,15 @@ def main(argv: list[str] | None = None) -> int:
         pass
 
     from . import io
-    from .pipeline import setup, stem_setup
+    from .pipeline import build_mesh, setup, shard_series, shard_sim, stem_setup
 
     t0 = time.time()
     sim = setup(cfg)
+    # Shard the measurement axis over all devices (C19 product path): the
+    # defocus/tilt/probe series splits across the mesh, V stays replicated,
+    # and GSPMD inserts the single gradient psum (SURVEY.md §2.2).
+    mesh = build_mesh(cfg)
+    sim = shard_sim(sim, mesh)
     os.makedirs(cfg.output_dir, exist_ok=True)
     out = lambda name: os.path.join(cfg.output_dir, name)  # noqa: E731
 
@@ -217,6 +222,7 @@ def main(argv: list[str] | None = None) -> int:
         from .forward import stem_raster_4d
 
         stencil, qy, qx, positions, _ = stem_setup(sim)
+        positions = shard_series(mesh, positions)
         stacks = phonon_stacks()
         if cfg.stem.method == "prism":
             from .pipeline import prism_setup
@@ -257,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
         from .forward import stem_raster
 
         stencil, qy, qx, positions, masks = stem_setup(sim)
+        positions = shard_series(mesh, positions)
         stacks = phonon_stacks()
         if cfg.stem.method == "prism":
             from .pipeline import prism_setup
@@ -328,6 +335,7 @@ def main(argv: list[str] | None = None) -> int:
             from .forward import stem_raster_4d
 
             stencil, qy, qx, positions, _ = stem_setup(sim)
+            positions = shard_series(mesh, positions)
 
             def fwd(v):
                 return stem_raster_4d(
@@ -370,16 +378,23 @@ def main(argv: list[str] | None = None) -> int:
                 # poisson_nll consumes COUNTS (loss.py); intensities would
                 # shift the ML minimum to sim = I/dose for any dose != 1
                 i_obs = cfg.recon.dose * i_obs
+        i_obs = shard_series(mesh, i_obs)
 
         loss_fn = make_loss(
             fwd, i_obs, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight,
             kind=cfg.recon.loss, dose=cfg.recon.dose,
         )
+        v_sharding = None
+        if mesh is not None:
+            from .sharding import replicated
+
+            v_sharding = replicated(mesh)
         res = reconstruct(
             loss_fn,
             jnp.zeros_like(sim.v_stack),
             iterations=cfg.recon.iterations,
             optimizer=make_optimizer(cfg.recon.optimizer, cfg.recon.lr),
+            v_sharding=v_sharding,
             checkpoint_path=cfg.recon.checkpoint_path or out("checkpoint.npz"),
             checkpoint_every=cfg.recon.checkpoint_every,
             resume=cfg.recon.resume,

@@ -29,8 +29,6 @@ large.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -40,11 +38,26 @@ from .propagate import transmit
 AXIS = "grid"
 
 
-def _check(mesh: Mesh, axis: str, ny: int, nx: int) -> int:
+def _check(
+    mesh: Mesh,
+    axis: str,
+    ny: int,
+    nx: int,
+    v_shape: tuple[int, ...] | None = None,
+    prop_shape: tuple[int, ...] | None = None,
+) -> int:
     n = mesh.shape[axis]
     if ny % n or nx % n:
         raise ValueError(
             f"grid {ny}x{nx} not divisible by mesh axis '{axis}' size {n}"
+        )
+    # Mismatched companion arrays would otherwise reach shard_map and die
+    # with an opaque partitioning error (ADVICE.md round 1).
+    if v_shape is not None and tuple(v_shape[-2:]) != (ny, nx):
+        raise ValueError(f"v_stack grid {v_shape[-2:]} != psi0 grid {(ny, nx)}")
+    if prop_shape is not None and tuple(prop_shape[-2:]) != (ny, nx):
+        raise ValueError(
+            f"propagator grid {prop_shape[-2:]} != psi0 grid {(ny, nx)}"
         )
     return n
 
@@ -129,7 +142,10 @@ def multislice_gridsharded(
     to jit the enclosing step — shard_map cannot evaluate jax.checkpoint
     eagerly, and every real step function is jitted anyway).
     """
-    _check(mesh, axis, *psi0.shape)
+    _check(
+        mesh, axis, *psi0.shape,
+        v_shape=v_stack.shape, prop_shape=propagator.shape,
+    )
 
     def local(psi_blk, v_blks, prop_blk):
         def body(psi, v):

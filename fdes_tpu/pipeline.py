@@ -17,6 +17,7 @@ import numpy as np
 from . import constants
 from .config import Config
 from .grids import Grid, fresnel_propagator, host_cast
+from .tunnel import safe_put
 from .optics import Aberrations, ctf_series
 from .potential import build_potential
 from .probe import plane_wave, probe_stencil
@@ -91,7 +92,9 @@ def setup(cfg: Config) -> Sim:
         # absorptive (optical) potential: imaginary part damps the wave
         # (propagate.transmit handles complex V)
         v_stack = v_stack + 1j * cfg.sim.absorptive_factor * jnp.abs(v_stack)
-    prop = jnp.asarray(
+    # safe_put: complex constants travel as two float planes (TPU tunnels
+    # cannot transfer complex buffers — fdes_tpu/tunnel.py)
+    prop = safe_put(
         host_cast(
             fresnel_propagator(
                 grid,
@@ -135,10 +138,10 @@ def setup(cfg: Config) -> Sim:
             n_defocus=cfg.optics.quad_defocus,
             n_tilt=cfg.optics.quad_tilt,
         )
-        ctfs = jnp.asarray(host_cast(quads, cdt))
+        ctfs = safe_put(host_cast(quads, cdt))
         ctf_weights = jnp.asarray(weights.astype(np.float32 if rdt == jnp.float32 else np.float64))
     elif cfg.optics.coherence == "envelope":
-        ctfs = jnp.asarray(
+        ctfs = safe_put(
             host_cast(
                 ctf_series(
                     grid,
@@ -169,7 +172,7 @@ def setup(cfg: Config) -> Sim:
         psi0_stack = jnp.stack([plane_wave(grid, lam, dtype=cdt) for _ in tilts])
         prop_stack = jnp.stack(
             [
-                jnp.asarray(
+                safe_put(
                     host_cast(
                         fresnel_propagator(
                             grid, lam, sliced.dz, tilt_xy_rad=t,
@@ -201,10 +204,68 @@ def setup(cfg: Config) -> Sim:
     )
 
 
+def build_mesh(cfg: Config):
+    """The run's device mesh from MeshParams, or None when 1 device.
+
+    Called by the CLI so `fdes-tpu invert/stem` on a pod actually shards the
+    measurement axis instead of running replicated (round-1 C19 gap).
+    """
+    import jax
+
+    from .sharding import make_mesh
+
+    if len(jax.devices()) <= 1 and not cfg.mesh.shape:
+        return None
+    return make_mesh(
+        axis_names=tuple(cfg.mesh.axis_names),
+        shape=tuple(cfg.mesh.shape) or None,
+    )
+
+
+def shard_series(mesh, *arrays):
+    """Shard (M, ...) arrays' leading axis over the mesh; replicate with a
+    warning when M does not divide (CLI robustness: a 10-image series on 8
+    chips should run, not die)."""
+    if mesh is None:
+        return arrays[0] if len(arrays) == 1 else arrays
+
+    from .sharding import data_axis_size, shard_measurements
+
+    n = data_axis_size(mesh)
+    if any(a.shape[0] % n for a in arrays):
+        import sys
+
+        print(
+            f"# mesh: series length {arrays[0].shape[0]} not divisible by "
+            f"{n} devices; running replicated (pad the series to shard)",
+            file=sys.stderr,
+        )
+        return arrays[0] if len(arrays) == 1 else arrays
+    return shard_measurements(mesh, *arrays)
+
+
+def shard_sim(sim: Sim, mesh) -> Sim:
+    """Shard the Sim's measurement-series axes over the mesh.
+
+    Defocus series: ctf_stack's D axis; tilt series: the (psi0, propagator)
+    pairs.  The potential/propagator/incident wave stay replicated — the
+    step's only collective is the gradient psum (SURVEY.md §2.2 design rule).
+    """
+    if mesh is None:
+        return sim
+    if sim.psi0_stack is not None:
+        sim.psi0_stack, sim.prop_stack = shard_series(
+            mesh, sim.psi0_stack, sim.prop_stack
+        )
+    elif getattr(sim.ctf_stack, "ndim", 0) >= 3 and sim.ctf_stack.shape[0] > 1:
+        sim.ctf_stack = shard_series(mesh, sim.ctf_stack)
+    return sim
+
+
 def stem_setup(sim: Sim):
     """Probe stencil, scan positions and detector masks for STEM mode."""
     st = sim.cfg.stem
-    stencil = jnp.asarray(
+    stencil = safe_put(
         host_cast(
             probe_stencil(sim.grid, sim.wavelength_A, st.semiangle_rad, sim.aberrations),
             sim.cdtype,

@@ -15,6 +15,7 @@ import numpy as np
 
 from .grids import Grid
 from .optics import Aberrations, aperture, chi
+from .tunnel import safe_put
 
 
 def plane_wave(
@@ -38,16 +39,15 @@ def plane_wave(
     """
     tx, ty = tilt_xy_rad
     if tx == 0.0 and ty == 0.0:
-        # Built in NumPy: eager complex array creation is unimplemented on
-        # some TPU runtimes; only compiled programs touch the device.
-        return jnp.asarray(np.ones(grid.shape, np.dtype(jnp.dtype(dtype).name)))
+        # Built in NumPy; safe_put ships complex as two float planes (TPU
+        # tunnels cannot transfer complex buffers — fdes_tpu/tunnel.py).
+        return safe_put(np.ones(grid.shape, np.dtype(jnp.dtype(dtype).name)))
     ly, lx = grid.extent
     kx = np.round(np.tan(tx) / wavelength_A * lx)  # integer grid harmonics
     ky = np.round(np.tan(ty) / wavelength_A * ly)
     y, x = grid.xy_grids()
     phase = 2.0 * np.pi * (x * kx / lx + y * ky / ly)
-    # Cast on the host: TPUs reject c128 buffers, so never ship one.
-    return jnp.asarray(np.exp(1j * phase).astype(np.dtype(jnp.dtype(dtype).name)))
+    return safe_put(np.exp(1j * phase).astype(np.dtype(jnp.dtype(dtype).name)))
 
 
 def probe_stencil(

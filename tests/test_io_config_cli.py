@@ -326,3 +326,45 @@ def test_cli_hrtem_explicit_coherence(tmp_path):
     # limit is pinned in tests/test_physics.py.
     scale = np.abs(imgs["envelope"] - imgs["envelope"].mean()).max()
     assert np.abs(imgs["explicit"] - imgs["envelope"]).max() < 0.2 * scale
+
+def test_cli_invert_sharded_equals_single_device(tmp_path):
+    """C19 product path: `fdes-tpu invert` on an 8-device mesh shards the
+    defocus series (pipeline.shard_sim) and reconstructs the SAME potential
+    as a single-device run (GSPMD DP is semantics-preserving)."""
+    results = {}
+    for ndev in (1, 8):
+        cfg = _write_small_cfg(tmp_path, "invert")
+        text = cfg.read_text().replace(
+            "defoci_A = [-100.0, 100.0]",
+            "defoci_A = [-400.0, -300.0, -200.0, -100.0, "
+            "100.0, 200.0, 300.0, 400.0]",
+        ).replace(f"{tmp_path}/out", f"{tmp_path}/out_{ndev}")
+        cfg.write_text(text)
+        env = dict(CLI_ENV, XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}")
+        r = subprocess.run(
+            [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+            env=env, capture_output=True, text=True, timeout=300, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        results[ndev] = np.load(tmp_path / f"out_{ndev}" / "reconstructed.npy")
+    np.testing.assert_allclose(results[8], results[1], rtol=1e-5, atol=1e-7)
+
+
+def test_cli_stem_sharded_equals_single_device(tmp_path):
+    """STEM raster through the CLI: probe positions sharded over 8 devices
+    produce the same signals as single-device (scan is 2x4=8 probes)."""
+    results = {}
+    for ndev in (1, 8):
+        cfg = _write_small_cfg(tmp_path, "stem")
+        text = cfg.read_text().replace(
+            "scan_nx = 2", "scan_nx = 4"
+        ).replace(f"{tmp_path}/out", f"{tmp_path}/out_stem{ndev}")
+        cfg.write_text(text)
+        env = dict(CLI_ENV, XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}")
+        r = subprocess.run(
+            [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+            env=env, capture_output=True, text=True, timeout=300, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        results[ndev] = np.load(tmp_path / f"out_stem{ndev}" / "stem.npy")
+    np.testing.assert_allclose(results[8], results[1], rtol=1e-5, atol=1e-8)
