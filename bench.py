@@ -132,9 +132,8 @@ def _measure() -> int:
     from fdes_tpu.probe import probe_from_stencil
     from fdes_tpu.propagate import make_slice_step, multislice
 
-    slice_step = make_slice_step(
-        os.environ.get("FDES_BENCH_STEP", "xla"), shape=(n, n)
-    )
+    engine = os.environ.get("FDES_BENCH_STEP", "auto_fast")
+    slice_step = make_slice_step(engine, shape=(n, n))
 
     def rollout_batch(v_stack, positions, carry, stencil, qy, qx, prop):
         # carry chains successive calls (output feeds input) so the timing
@@ -170,6 +169,8 @@ def _measure() -> int:
                 "value": round(slice_props, 2),
                 "unit": "slice-props/s/chip",
                 "vs_baseline": round(slice_props / prev, 3) if prev else 1.0,
+                "engine": engine,
+                "config": f"{n}x{n}x{nslices}x{nprobes}probes",
             }
         )
     )

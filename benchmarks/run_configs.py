@@ -40,6 +40,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 
 
+
+def safe_put(x, device=None):
+    """Complex-safe device_put (fdes_tpu.tunnel): raw complex transfers
+    poison the TPU tunnel, so every upload in this harness routes here."""
+    from fdes_tpu.tunnel import safe_put as _sp
+
+    return _sp(x, device)
+
 def _chained_timeit(step, args, reps, compile_tries=120):
     """Steady-state seconds/call of jitted ``step(carry, *args) -> carry``.
 
@@ -84,10 +92,10 @@ def _sim(scale, n_full, s_full, n_ci=64, s_ci=8, reps=(4, 3, 3)):
     lam = f.wavelength_A(kv)
     sigma = f.interaction_sigma(kv)
     v = build_potential(sliced, grid, dtype=jnp.float32)
-    prop = jax.device_put(
+    prop = safe_put(
         host_cast(f.fresnel_propagator(grid, lam, sliced.dz), jnp.complex64)
     )
-    psi0 = jax.device_put(np.ones(grid.shape, np.complex64))
+    psi0 = safe_put(np.ones(grid.shape, np.complex64))
     return grid, sliced, kv, lam, sigma, v, prop, psi0
 
 
@@ -139,7 +147,7 @@ def _ctf_stack(grid, lam):
     import jax.numpy as jnp
 
     defoci = np.linspace(-400, 400, 8)
-    ctfs = jax.device_put(
+    ctfs = safe_put(
         host_cast(
             f.ctf_series(grid, lam, defoci, f.Aberrations(cs=1.2e7), 20e-3),
             jnp.complex64,
@@ -253,14 +261,14 @@ def config4(scale, step_kind):
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 128)
     nprobes = 4096 if scale == "full" else 32
     chunk = 64 if scale == "full" else 8
-    stencil = jax.device_put(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
-    qy = jax.device_put(host_cast(grid.qy()[:, None], jnp.float32))
-    qx = jax.device_put(host_cast(grid.qx()[None, :], jnp.float32))
+    stencil = safe_put(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
+    qy = safe_put(host_cast(grid.qy()[:, None], jnp.float32))
+    qx = safe_put(host_cast(grid.qx()[None, :], jnp.float32))
     rng = np.random.default_rng(0)
-    pos = jax.device_put(
+    pos = safe_put(
         (rng.random((nprobes, 2)) * np.array(grid.extent)).astype(np.float32)
     )
-    masks = jax.device_put(
+    masks = safe_put(
         host_cast(
             np.stack(
                 [
@@ -327,7 +335,7 @@ def config5(scale, step_kind):
             for t in tilts
         ]
     )
-    ctf1 = jax.device_put(
+    ctf1 = safe_put(
         host_cast(f.ctf_series(grid, lam, np.array([100.0]))[0], jnp.complex64)
     )
     i_obs = jax.jit(
@@ -350,7 +358,7 @@ def config5(scale, step_kind):
         mesh = make_mesh(jax.devices()[:nd])
         k = per_dev * nd
         p0, pr, ob = shard_measurements(mesh, psi0s[:k], props[:k], i_obs[:k])
-        v = jax.device_put(jnp.zeros_like(v_true), replicated(mesh))
+        v = safe_put(jnp.zeros_like(v_true), replicated(mesh))
         st = jax.jit(opt.init)(v)
         v, st, loss = train_step(v, st, p0, pr, ctf1, ob)
         fetch_scalar(loss, tries=120, wait_s=20.0)
@@ -365,6 +373,19 @@ def config5(scale, step_kind):
     tput_1 = measure(1)
     tput_n = measure(ndev) if ndev > 1 else tput_1
     eff = tput_n / (ndev * tput_1) if ndev > 1 else 1.0
+    note = ""
+    if ndev == 1:
+        note = "single-device run; efficiency trivially 1.0"
+    else:
+        import os as _os
+
+        cores = _os.cpu_count() or 1
+        if jax.default_backend() == "cpu" and ndev > cores:
+            note = (
+                f"{ndev} VIRTUAL cpu devices on {cores} physical cores: "
+                f"this measures sharded-step SEMANTICS, not scaling — "
+                f"efficiency is bounded by {cores}/{ndev} = {cores / ndev:.2f}"
+            )
     return {
         "devices": ndev,
         "tilts_per_s_1dev": tput_1,
@@ -372,7 +393,7 @@ def config5(scale, step_kind):
         "scaling_efficiency": eff,
         "grid": (n, n),
         "nslices": s,
-        "note": "single-device run; efficiency trivially 1.0" if ndev == 1 else "",
+        "note": note,
     }
 
 
@@ -402,10 +423,10 @@ def config6(scale, step_kind):
         (c for c in range(64, 1, -1) if plan.nbeams % c == 0), None
     )
     rng = np.random.default_rng(0)
-    pos = jax.device_put(
+    pos = safe_put(
         (rng.random((nprobes, 2)) * np.array(grid.extent)).astype(np.float32)
     )
-    masks = jax.device_put(
+    masks = safe_put(
         host_cast(
             np.stack(
                 [

@@ -10,7 +10,6 @@ reference blueprint and fdes_tpu/constants.py for all physics conventions.
 from .config import Config, load_config
 from .constants import interaction_sigma, lorentz_gamma, wavelength_A
 from .forward import (
-    exit_wave,
     hrtem_defocus_series,
     hrtem_tilt_series,
     stem_com_raster,
@@ -66,7 +65,6 @@ __all__ = [
     "ctf_series",
     "ctf_traced",
     "envelopes",
-    "exit_wave",
     "fresnel_propagator",
     "hrtem_defocus_series",
     "hrtem_image",

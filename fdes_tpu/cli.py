@@ -120,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         from .potential import build_potential
 
         stacks = [
-            build_potential(c, sim.grid, dtype=sim.rdtype)
+            build_potential(c, sim.grid, table=sim.table, dtype=sim.rdtype)
             for c in phonon_sliced(
                 sim.specimen,
                 cfg.sim.phonon_configs,
@@ -140,19 +140,19 @@ def main(argv: list[str] | None = None) -> int:
     if cfg.mode == "forward":
         import jax.numpy as jnp
 
-        from .forward import exit_wave
+        from .propagate import multislice
 
         if sim.psi0_stack is not None:
             psi = jnp.stack(
                 [
-                    exit_wave(
+                    multislice(
                         p0, sim.v_stack, pr, sim.sigma, slice_step=slice_step
                     )
                     for p0, pr in zip(sim.psi0_stack, sim.prop_stack)
                 ]
             )
         else:
-            psi = exit_wave(
+            psi = multislice(
                 sim.psi0, sim.v_stack, sim.propagator, sim.sigma,
                 slice_step=slice_step,
             )

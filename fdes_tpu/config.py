@@ -33,7 +33,9 @@ class SimParams:
     tilt_x_rad: float = 0.0
     tilt_y_rad: float = 0.0
     dtype: str = "complex64"
-    engine: str = "xla"  # slice-step backend: xla | pallas | mxu | mxu_fast
+    #: slice-step backend: auto (accuracy-preserving measured winner per
+    #: grid size) | auto_fast | xla | pallas | mxu | mxu_fast
+    engine: str = "auto"
     #: ((tx, ty), ...) beam/specimen tilt series in rad; non-empty switches
     #: hrtem/invert modes from a defocus series to a tilt series (the
     #: reference's inverse-tomography modality, SURVEY.md §3.2 / PRB 2013)
@@ -51,6 +53,11 @@ class SpecimenParams:
     box_A: tuple[float, float, float] = (0.0, 0.0, 0.0)
     bfactor_A2: float = 0.45
     reps: tuple[int, int, int] = (4, 3, 3)  # fixture tiling when atoms_path==""
+    #: f_e(q) model: wentzel (single-Yukawa analytic) | moliere
+    #: (Thomas-Fermi 3-Yukawa, universal constants) | kirkland (12-param
+    #: table from scattering_path; docs/SCATTERING.md)
+    scattering: str = "wentzel"
+    scattering_path: str = ""  # fparams.dat-layout table for kind=kirkland
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,26 +25,6 @@ from .probe import probe_from_stencil
 from .propagate import multislice
 
 
-def exit_wave(
-    psi0: jax.Array,
-    v_stack: jax.Array,
-    propagator: jax.Array,
-    sigma: float,
-    *,
-    remat_chunk: int | None = None,
-    slice_step: Callable[..., jax.Array] | None = None,
-) -> jax.Array:
-    """Alias for the multislice rollout (kept for orchestration symmetry)."""
-    return multislice(
-        psi0,
-        v_stack,
-        propagator,
-        sigma,
-        remat_chunk=remat_chunk,
-        slice_step=slice_step,
-    )
-
-
 def hrtem_defocus_series(
     v_stack: jax.Array,
     psi0: jax.Array,

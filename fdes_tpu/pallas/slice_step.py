@@ -45,14 +45,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Row-stripe height per grid step.  8 is the f32 sublane quantum; 256 rows
-# of 2048 f32 lanes = 2 MiB per plane — comfortable with ~6 planes live.
+# Row-stripe height per grid step.  8 is the f32 sublane quantum.  The
+# stripe height is bounded by the per-kernel VMEM budget ACROSS ALL LIVE
+# PLANES: the 10-plane absorptive-backward kernel at nx=2048 with 256-row
+# stripes wants 20 MiB > the 16 MiB scoped-vmem limit (Mosaic compile OOM,
+# caught on hardware in round 2) — so _row_grid sizes the stripe from the
+# plane count instead of a fixed constant.
 _ROWS = 256
+# Mosaic DOUBLE-BUFFERS every in/out block for the grid pipeline, so the
+# scoped-vmem cost is ~2x nplanes*rows*nx*4; budget 5 MiB of single-buffer
+# bytes => ~10 MiB scoped, under the 16 MiB limit (the 256-row/5-plane
+# config at nx=2048 measured 17.97 MiB scoped and failed to compile).
+_VMEM_BUDGET_BYTES = 5 * 1024 * 1024
 
 
-def _row_grid(shape):
+def _row_grid(shape, nplanes=6):
+    """(grid, BlockSpec) for row-stripe processing of ``nplanes`` f32 planes."""
     ny, nx = shape
-    rows = min(_ROWS, ny)
+    rows = min(_ROWS, ny, max(_VMEM_BUDGET_BYTES // (nplanes * nx * 4), 8))
+    # Largest power of two <= budget that divides ny: Mosaic requires the
+    # sublane block dimension be a multiple of 8 (or == ny), and a raw
+    # budget like 213 rows would decay to 1 in the divisibility loop.
+    rows = 1 << (rows.bit_length() - 1)
     while ny % rows:
         rows //= 2
     rows = max(rows, 1)
@@ -161,7 +175,7 @@ def _transmit_fwd(psi, v_slice, sigma, interpret):
     interpret = _resolve_interpret(interpret)
     pr, pi = _planes(psi)
     rdt = pr.dtype
-    grid, spec = _row_grid(v_slice.shape)
+    grid, spec = _row_grid(v_slice.shape, nplanes=5)
     return pl.pallas_call(
         functools.partial(_transmit_fwd_kernel, sigma=rdt.type(sigma)),
         grid=grid,
@@ -186,7 +200,7 @@ def _pallas_transmit_bwd(sigma, interpret, res, g):
     pr, pi = _planes(psi)
     gr, gi = _planes(g)
     rdt = pr.dtype
-    grid, spec = _row_grid(v_slice.shape)
+    grid, spec = _row_grid(v_slice.shape, nplanes=8)
     dr, di, dv = pl.pallas_call(
         functools.partial(_transmit_bwd_kernel, sigma=rdt.type(sigma)),
         grid=grid,
@@ -216,7 +230,7 @@ def _cmul(a, b, conj_b, interpret):
     ar, ai = _planes(a)
     br, bi = _planes(b)
     rdt = ar.dtype
-    grid, spec = _row_grid(ar.shape)
+    grid, spec = _row_grid(ar.shape, nplanes=6)
     cr, ci = pl.pallas_call(
         functools.partial(_cmul_kernel, conj_b=conj_b),
         grid=grid,
@@ -255,7 +269,7 @@ def _transmit_abs_fwd(psi, v_re, v_abs, sigma, interpret):
     interpret = _resolve_interpret(interpret)
     pr, pi = _planes(psi)
     rdt = pr.dtype
-    grid, spec = _row_grid(v_re.shape)
+    grid, spec = _row_grid(v_re.shape, nplanes=6)
     return pl.pallas_call(
         functools.partial(_transmit_abs_fwd_kernel, sigma=rdt.type(sigma)),
         grid=grid,
@@ -283,7 +297,7 @@ def _pallas_transmit_abs_bwd(sigma, interpret, res, g):
     pr, pi = _planes(psi)
     gr, gi = _planes(g)
     rdt = pr.dtype
-    grid, spec = _row_grid(v_re.shape)
+    grid, spec = _row_grid(v_re.shape, nplanes=10)
     dr, di, dvr, dva = pl.pallas_call(
         functools.partial(_transmit_abs_bwd_kernel, sigma=rdt.type(sigma)),
         grid=grid,

@@ -48,6 +48,8 @@ class Sim:
     #: (forward passes them to the incoherent-average imaging path);
     #: None for the closed-form envelope model.
     ctf_weights: object = None
+    #: ScatteringTable the potential was built with (phonon re-builds reuse it)
+    table: object = None
 
 
 def _dtypes(name: str):
@@ -63,6 +65,26 @@ def load_specimen(cfg: Config) -> Specimen:
     if sp.atoms_path:
         return load_xyz(sp.atoms_path, sp.box_A, bfactor=sp.bfactor_A2)
     return make_si110_supercell(reps=sp.reps, bfactor=sp.bfactor_A2)
+
+
+def make_table(cfg: Config):
+    """ScatteringTable from SpecimenParams (wentzel/moliere/kirkland)."""
+    from .scattering import ScatteringTable, load_kirkland_table
+
+    sp = cfg.specimen
+    if sp.scattering == "kirkland":
+        if not sp.scattering_path:
+            raise ValueError(
+                "specimen.scattering='kirkland' needs specimen.scattering_path "
+                "(an fparams.dat-layout table; docs/SCATTERING.md)"
+            )
+        return load_kirkland_table(sp.scattering_path)
+    if sp.scattering in ("wentzel", "moliere"):
+        return ScatteringTable(kind=sp.scattering)
+    raise ValueError(
+        f"specimen.scattering must be wentzel|moliere|kirkland, got "
+        f"{sp.scattering!r}"
+    )
 
 
 def setup(cfg: Config) -> Sim:
@@ -87,7 +109,8 @@ def setup(cfg: Config) -> Sim:
     lam = constants.wavelength_A(cfg.sim.voltage_V)
     sigma = constants.interaction_sigma(cfg.sim.voltage_V)
 
-    v_stack = build_potential(sliced, grid, dtype=rdt)
+    table = make_table(cfg)
+    v_stack = build_potential(sliced, grid, table=table, dtype=rdt)
     if cfg.sim.absorptive_factor > 0.0:
         # absorptive (optical) potential: imaginary part damps the wave
         # (propagate.transmit handles complex V)
@@ -201,6 +224,7 @@ def setup(cfg: Config) -> Sim:
         psi0_stack=psi0_stack,
         prop_stack=prop_stack,
         ctf_weights=ctf_weights,
+        table=table,
     )
 
 

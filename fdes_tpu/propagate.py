@@ -108,16 +108,37 @@ def make_slice_step(
     kind: str = "xla", shape: tuple[int, int] | None = None, dtype=None
 ) -> Callable[..., jax.Array] | None:
     """Select the slice-step implementation (benchmark-selected per grid
-    size — see benchmarks/run_configs.py):
+    size — see benchmarks/tpu_steps.py / tpu_accuracy.py):
 
-    'xla'      — jnp ops, compiler-fused elementwise + VPU FFT (default);
+    'xla'      — jnp ops, compiler-fused elementwise + VPU FFT;
     'pallas'   — explicit fused VMEM kernels around the XLA FFT (M6);
     'mxu'      — DFT-as-matmul on the systolic array, true-f32 operands
                  (Precision.HIGHEST bf16x6 emulation; dft.py; needs shape);
-    'mxu_fast' — same at Precision.HIGH (bf16x3): ~2x fewer MXU passes,
-                 ~5e-7 per-op rounding — for workloads where ~1e-5
-                 exit-wave error is acceptable (dft.py docstring).
+    'mxu_fast' — same at Precision.HIGH (bf16x3): ~2x fewer MXU passes;
+    'auto'     — accuracy-preserving winner per grid size;
+    'auto_fast'— throughput winner per grid size (exit-wave error ~2e-3
+                 at 512^2 x 64 slices — fine for STEM/detector signals and
+                 benchmarks, NOT for 1e-5-gated exit waves).
+
+    The auto tiers encode the v5e measurements of 2026-08-20
+    (benchmarks/results/tpu_steps.jsonl, tpu_accuracy.jsonl): batched
+    rollouts (the production shape) at 512^2 run 2.1x faster on the MXU
+    matmul-DFT at Precision.HIGH than on the VPU FFT (18.1k vs 8.6k
+    slice-props/s, batch 16), and Precision.HIGHEST ('mxu') is BOTH faster
+    than the FFT up to 512^2 AND more accurate (1.9e-6 vs 4.3e-6 exit
+    rel-err vs f64 — bf16x6 matmul emulation carries less rounding than the
+    f32 VPU FFT).  At >=1024^2 the O(N^3) matmul FLOPs overtake the FFT's
+    O(N^2 log N) advantage for 'mxu'; 'mxu_fast' still wins at 1024^2
+    batched (2.36k vs 1.61k) and loses at 2048^2.
     """
+    if kind == "auto":
+        if shape is None:
+            raise ValueError("kind='auto' needs shape=(ny, nx)")
+        kind = "mxu" if max(shape) <= 512 else "xla"
+    elif kind == "auto_fast":
+        if shape is None:
+            raise ValueError("kind='auto_fast' needs shape=(ny, nx)")
+        kind = "mxu_fast" if max(shape) <= 1024 else "xla"
     if kind == "xla":
         return None  # multislice default
     if kind == "pallas":

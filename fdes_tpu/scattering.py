@@ -59,6 +59,44 @@ def wentzel_fe(q2: np.ndarray, Z: int) -> np.ndarray:
     return float(Z) / (2.0 * math.pi**2 * BOHR_RADIUS_A * (np.asarray(q2) + q0 * q0))
 
 
+#: Moliere's universal 3-exponential fit to the Thomas-Fermi screening
+#: function chi(x) ~ sum_i A_i * exp(-B_i * x) (Moliere, Z. Naturforschung
+#: 2a (1947) 133; the standard constants reused across scattering codes).
+#: These are UNIVERSAL (element-independent) constants, not per-element
+#: fitted data, so embedding them honours the provenance rule that bans
+#: unverifiable per-element digits (SURVEY.md §0, C4).
+MOLIERE_A = (0.10, 0.55, 0.35)
+MOLIERE_B = (6.0, 1.2, 0.3)
+#: Thomas-Fermi screening length prefactor: a_TF = 0.88534 * a0 * Z^(-1/3)
+#: (the (9*pi^2/128)^(1/3) constant of TF theory).
+TF_PREFACTOR = 0.88534
+
+
+def moliere_fe(q2: np.ndarray, Z: int) -> np.ndarray:
+    """Moliere/Thomas-Fermi 3-Yukawa scattering factor, Å, float64.
+
+    V(r) = (Z e / 4 pi eps0 r) * sum_i A_i exp(-B_i r / a_TF) with
+    a_TF = 0.88534 a0 Z^(-1/3); each Yukawa term transforms exactly like
+    the Wentzel atom, so
+
+        f_e(q) = Z / (2 pi^2 a0) * sum_i A_i / (q^2 + (B_i/(2 pi a_TF))^2).
+
+    Better screening physics than the single-Yukawa Wentzel default (the TF
+    charge distribution instead of one ad-hoc exponential); both share the
+    exact Rutherford limit f_e -> Z/(2 pi^2 a0 q^2) at large q (pinned in
+    tests/test_physics.py).  Still an approximation to relativistic
+    Hartree-Fock tables — for publication-grade potentials load Kirkland's
+    ``fparams.dat`` (load_kirkland_table; docs/SCATTERING.md).
+    """
+    a_tf = TF_PREFACTOR * BOHR_RADIUS_A * float(Z) ** (-1.0 / 3.0)
+    q2 = np.asarray(q2, dtype=np.float64)
+    f = np.zeros_like(q2)
+    for a_i, b_i in zip(MOLIERE_A, MOLIERE_B):
+        qi = b_i / (2.0 * math.pi * a_tf)
+        f = f + a_i / (q2 + qi * qi)
+    return float(Z) / (2.0 * math.pi**2 * BOHR_RADIUS_A) * f
+
+
 def kirkland_fe(q2: np.ndarray, params: np.ndarray) -> np.ndarray:
     """12-parameter Kirkland form. params = (a1,b1,a2,b2,a3,b3,c1,d1,...)."""
     p = np.asarray(params, dtype=np.float64)
@@ -87,6 +125,8 @@ class ScatteringTable:
     def fe(self, q2: np.ndarray, Z: int) -> np.ndarray:
         if self.kind == "wentzel":
             return wentzel_fe(q2, Z)
+        if self.kind == "moliere":
+            return moliere_fe(q2, Z)
         if self.kind == "kirkland":
             if self.params is None or Z not in self.params:
                 raise KeyError(f"no kirkland parameters for Z={Z}")

