@@ -207,3 +207,33 @@ def test_frozen_golden_pack_drift():
             np.testing.assert_allclose(
                 pack[key], fresh[key], rtol=1e-12, atol=1e-13, err_msg=key
             )
+
+def test_make_slice_step_auto_tiers():
+    """auto/auto_fast encode the measured per-grid-size winners
+    (BASELINE.md round-2 table): mxu <=512, mxu_fast <=1024, xla above."""
+    from fdes_tpu.propagate import default_slice_step, make_slice_step
+
+    import pytest
+
+    # accuracy tier: matmul-DFT at HIGHEST below the crossover, FFT above
+    assert make_slice_step("auto", shape=(512, 512)) is not None
+    assert make_slice_step("auto", shape=(1024, 1024)) is None  # xla default
+    # throughput tier keeps the MXU through 1024^2
+    assert make_slice_step("auto_fast", shape=(1024, 1024)) is not None
+    assert make_slice_step("auto_fast", shape=(2048, 2048)) is None
+    with pytest.raises(ValueError):
+        make_slice_step("auto")  # needs shape
+
+    # the selected mxu step matches the xla step numerically (CPU, c64)
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 32
+    psi = jnp.asarray((rng.random((n, n)) + 1j * rng.random((n, n))).astype(np.complex64))
+    v = jnp.asarray(rng.random((n, n)).astype(np.float32) * 30)
+    prop = jnp.asarray(np.exp(1j * rng.random((n, n))).astype(np.complex64))
+    step = make_slice_step("auto", shape=(n, n))
+    a = step(psi, v, prop, 6.5e-4)
+    b = default_slice_step(psi, v, prop, 6.5e-4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
