@@ -14,9 +14,21 @@ import os
 import numpy as np
 
 
+def _to_host(arr) -> np.ndarray:
+    """Device->host that survives TPU tunnels: complex device arrays must
+    come back as real/imag planes (tunnel.py), NumPy inputs pass through."""
+    if isinstance(arr, np.ndarray):
+        return arr
+    if hasattr(arr, "dtype") and hasattr(arr, "sharding"):  # jax.Array
+        from .tunnel import fetch_array
+
+        return fetch_array(arr)
+    return np.asarray(arr)
+
+
 def write_npy(path: str, arr) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.save(path, np.asarray(arr))
+    np.save(path, _to_host(arr))
 
 
 def read_npy(path: str) -> np.ndarray:
@@ -29,7 +41,7 @@ def write_raw(path: str, arr, dtype=None) -> None:
     Complex arrays are written as interleaved (re, im) pairs of the scalar
     dtype — the layout of a C float2/cuComplex buffer.
     """
-    a = np.asarray(arr)
+    a = _to_host(arr)
     if dtype is not None:
         a = a.astype(dtype)
     if np.iscomplexobj(a):

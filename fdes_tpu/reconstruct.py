@@ -76,8 +76,12 @@ def save_checkpoint(path: str, v, opt_state, iteration: int) -> None:
     """Write the full optimization pytree as a flat .npz (host 0 only)."""
     if jax.process_index() != 0:
         return
+    from .tunnel import fetch_array
+
     leaves, treedef = jax.tree.flatten((v, opt_state))
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    # fetch_array, not np.asarray: complex leaves (absorptive-V inverse)
+    # cannot be read back directly through a TPU tunnel (tunnel.py)
+    arrays = {f"leaf_{i}": fetch_array(x) for i, x in enumerate(leaves)}
     tmp = path + ".tmp.npz"
     np.savez(tmp, iteration=iteration, nleaves=len(leaves), **arrays)
     os.replace(tmp, path)
@@ -174,11 +178,16 @@ def reconstruct(
                 "on storage shared by all hosts"
             )
     if resume and ck_exists:
+        from .tunnel import safe_put
+
         v_host, opt_host, start = load_checkpoint(checkpoint_path, v0, opt_state)
-        v0 = jax.device_put(np.asarray(v_host, dtype=v0.dtype), v_sharding)
+        v0 = safe_put(np.asarray(v_host, dtype=v0.dtype), v_sharding)
+        # like.dtype, not np.asarray(like): materialising the device pytree
+        # on the host just for dtypes is a gratuitous (and, for complex,
+        # tunnel-poisoning) readback
         opt_state = jax.tree.map(
-            lambda like, val: jax.device_put(
-                np.asarray(val, np.asarray(like).dtype),
+            lambda like, val: safe_put(
+                np.asarray(val, like.dtype),
                 like.sharding if hasattr(like, "sharding") else None,
             ),
             opt_state,
