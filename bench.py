@@ -24,6 +24,12 @@ import time
 import numpy as np
 
 
+#: round-1's measured headline (BASELINE.md "Measured (round 1)" row) —
+#: the fallback comparison point when no BENCH_r*.json parses (round 1's
+#: official capture crashed before printing, so its file has no value).
+_ROUND1_MEASURED = 8408.0
+
+
 def _previous_round_value() -> float | None:
     best = None
     for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
@@ -40,7 +46,7 @@ def _previous_round_value() -> float | None:
             rnd = int(m.group(1))
             if best is None or rnd > best[0]:
                 best = (rnd, val)
-    return best[1] if best else None
+    return best[1] if best else _ROUND1_MEASURED
 
 
 def main() -> int:

@@ -329,6 +329,11 @@ def main(argv: list[str] | None = None) -> int:
 
         chunk = cfg.recon.remat_chunk or pick_remat_chunk(cfg.sim.nslices)
 
+        # Every device array the forward model consumes is threaded as an
+        # ARGUMENT (fwd_args -> reconstruct loss_args), never a closure: a
+        # device array captured by a jitted step becomes a compile-time
+        # constant whose embedding needs a trace-time device->host readback
+        # — unimplemented on tunneled TPU runtimes (fdes_tpu/tunnel.py).
         if cfg.recon.modality == "stem4d":
             # ptychography-style inverse from CBED stacks (beyond-reference;
             # tests/test_inverse.py::test_4dstem_ptychographic_recovery)
@@ -336,26 +341,34 @@ def main(argv: list[str] | None = None) -> int:
 
             stencil, qy, qx, positions, _ = stem_setup(sim)
             positions = shard_series(mesh, positions)
+            fwd_args = (stencil, qy, qx, positions, sim.propagator)
 
-            def fwd(v):
+            def fwd(v, stencil, qy, qx, positions, propagator):
                 return stem_raster_4d(
-                    v, stencil, qy, qx, positions, sim.propagator, sim.sigma,
+                    v, stencil, qy, qx, positions, propagator, sim.sigma,
                     probe_chunk=cfg.stem.probe_chunk or None,
                     remat_chunk=chunk, slice_step=slice_step,
                 )
         elif sim.psi0_stack is not None:
             # tilt-series modality (the reference's inverse tomography)
-            def fwd(v):
+            fwd_args = (
+                sim.psi0_stack, sim.prop_stack, sim.ctf_stack[0],
+                sim.ctf_weights,
+            )
+
+            def fwd(v, psi0_stack, prop_stack, ctf0, weights):
                 return hrtem_tilt_series(
-                    v, sim.psi0_stack, sim.prop_stack, sim.sigma,
-                    sim.ctf_stack[0], weights=sim.ctf_weights,
+                    v, psi0_stack, prop_stack, sim.sigma,
+                    ctf0, weights=weights,
                     remat_chunk=chunk, slice_step=slice_step,
                 )
         else:
-            def fwd(v):
+            fwd_args = (sim.psi0, sim.propagator, sim.ctf_stack, sim.ctf_weights)
+
+            def fwd(v, psi0, propagator, ctf_stack, weights):
                 return hrtem_defocus_series(
-                    v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
-                    weights=sim.ctf_weights, remat_chunk=chunk,
+                    v, psi0, propagator, sim.sigma, ctf_stack,
+                    weights=weights, remat_chunk=chunk,
                     slice_step=slice_step,
                 )
 
@@ -373,7 +386,10 @@ def main(argv: list[str] | None = None) -> int:
                 if jnp.iscomplexobj(sim.v_stack)
                 else sim.v_stack
             )
-            i_obs = fwd(real_v)
+            # jit the synthesis: eager per-op dispatch of a multislice
+            # rollout is pathologically slow on tunneled TPU runtimes
+            # (minutes for a 256² 16-slice series vs <1 s compiled)
+            i_obs = jax.jit(fwd)(real_v, *fwd_args)
             if cfg.recon.loss == "poisson":
                 # poisson_nll consumes COUNTS (loss.py); intensities would
                 # shift the ML minimum to sim = I/dose for any dose != 1
@@ -381,7 +397,7 @@ def main(argv: list[str] | None = None) -> int:
         i_obs = shard_series(mesh, i_obs)
 
         loss_fn = make_loss(
-            fwd, i_obs, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight,
+            fwd, None, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight,
             kind=cfg.recon.loss, dose=cfg.recon.dose,
         )
         v_sharding = None
@@ -392,6 +408,7 @@ def main(argv: list[str] | None = None) -> int:
         res = reconstruct(
             loss_fn,
             jnp.zeros_like(sim.v_stack),
+            loss_args=(i_obs, *fwd_args),
             iterations=cfg.recon.iterations,
             optimizer=make_optimizer(cfg.recon.optimizer, cfg.recon.lr),
             v_sharding=v_sharding,

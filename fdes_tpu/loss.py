@@ -68,7 +68,7 @@ def total_variation(v_stack: jax.Array, weight: float, eps: float = 1e-6) -> jax
 
 def make_loss(
     forward,
-    i_obs: jax.Array,
+    i_obs: jax.Array | None,
     l2_weight: float = 0.0,
     tv_weight: float = 0.0,
     kind: str = "l2",
@@ -82,20 +82,36 @@ def make_loss(
     maximum likelihood; i_obs in counts, ``dose`` the counts-per-unit-
     intensity scale).  Returns a scalar-valued function ready for
     jax.value_and_grad.
+
+    ``i_obs=None`` returns a loss with signature (v, i_obs, *fwd_args):
+    the observed data travels as an ARGUMENT instead of a closure.  Use
+    this (with reconstruct's ``loss_args``) whenever i_obs is a device
+    array — a jitted step that closes over a device array forces a
+    trace-time device->host readback, which tunneled TPU runtimes do not
+    implement (fdes_tpu/tunnel.py; caught live in round 2).
     """
     if kind not in ("l2", "poisson"):
         raise ValueError(f"unknown loss kind {kind!r}")
 
-    def loss_fn(v_stack, *fwd_args):
-        sim = forward(v_stack, *fwd_args)
+    def data_term(v_stack, sim, obs):
         if kind == "poisson":
-            data = poisson_nll(sim, i_obs, dose)
+            data = poisson_nll(sim, obs, dose)
         else:
-            data = l2_mismatch(sim, i_obs)
+            data = l2_mismatch(sim, obs)
         if l2_weight:
             data = data + tikhonov(v_stack, l2_weight)
         if tv_weight:
             data = data + total_variation(v_stack, tv_weight)
         return data
+
+    if i_obs is None:
+
+        def loss_fn_arg(v_stack, i_obs, *fwd_args):
+            return data_term(v_stack, forward(v_stack, *fwd_args), i_obs)
+
+        return loss_fn_arg
+
+    def loss_fn(v_stack, *fwd_args):
+        return data_term(v_stack, forward(v_stack, *fwd_args), i_obs)
 
     return loss_fn

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from .tunnel import fetch_array, fetch_scalar
+
 
 @dataclasses.dataclass
 class ReconResult:
@@ -76,8 +78,6 @@ def save_checkpoint(path: str, v, opt_state, iteration: int) -> None:
     """Write the full optimization pytree as a flat .npz (host 0 only)."""
     if jax.process_index() != 0:
         return
-    from .tunnel import fetch_array
-
     leaves, treedef = jax.tree.flatten((v, opt_state))
     # fetch_array, not np.asarray: complex leaves (absorptive-V inverse)
     # cannot be read back directly through a TPU tunnel (tunnel.py)
@@ -128,6 +128,7 @@ def reconstruct(
     loss_fn: Callable[[jax.Array], jax.Array],
     v0: jax.Array,
     *,
+    loss_args: tuple = (),
     iterations: int = 100,
     optimizer: optax.GradientTransformation | None = None,
     checkpoint_path: str | None = None,
@@ -203,11 +204,17 @@ def reconstruct(
     # V and opt_state are donated: XLA reuses their buffers in place, so the
     # steady-state iteration allocates nothing (the TPU analog of the
     # reference's persistent cudaMalloc buffers, SURVEY.md C17).
+    # loss_args thread DEVICE arrays (observed data, incident waves, CTF
+    # stacks) into the step as jit ARGUMENTS: a device array captured in
+    # the loss closure becomes a compile-time constant, whose embedding
+    # needs a trace-time device->host readback — unimplemented on tunneled
+    # TPU runtimes (fdes_tpu/tunnel.py) and a gratuitous transfer anywhere.
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(v, opt_state):
-        loss, g = jax.value_and_grad(loss_fn)(v)
+    def step(v, opt_state, *largs):
+        lf = (lambda vv: loss_fn(vv, *largs)) if largs else loss_fn
+        loss, g = jax.value_and_grad(lf)(v)
         updates, opt_state = opt.update(
-            g, opt_state, v, value=loss, grad=g, value_fn=loss_fn
+            g, opt_state, v, value=loss, grad=g, value_fn=lf
         )
         v = optax.apply_updates(v, updates)
         if project is not None:
@@ -221,15 +228,17 @@ def reconstruct(
     try:
         for it in range(start, iterations):
             ts = time.time()
-            v, opt_state, loss, gnorm = step(v, opt_state)
+            v, opt_state, loss, gnorm = step(v, opt_state, *loss_args)
             # Host fetch of two scalars per iteration (same values the
-            # reference printed); arrays stay on device.
-            loss_f = float(loss)
+            # reference printed); arrays stay on device.  fetch_scalar is
+            # the watchdog readback — a bare float() can block forever on
+            # a half-up TPU tunnel (fdes_tpu/tunnel.py).
+            loss_f = fetch_scalar(loss)
             losses.append(loss_f)
             metrics.write(
                 iter=it,
                 loss=loss_f,
-                grad_norm=float(gnorm),
+                grad_norm=fetch_scalar(gnorm),
                 step_s=time.time() - ts,
             )
             if callback is not None:
@@ -241,7 +250,7 @@ def reconstruct(
     if checkpoint_path:
         save_checkpoint(checkpoint_path, v, opt_state, iterations)
     return ReconResult(
-        v=np.asarray(v),
+        v=fetch_array(v),
         losses=np.asarray(losses),
         iterations=iterations,
         wall_s=time.time() - t0,
