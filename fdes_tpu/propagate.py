@@ -115,6 +115,9 @@ def make_slice_step(
     'mxu'      — DFT-as-matmul on the systolic array, true-f32 operands
                  (Precision.HIGHEST bf16x6 emulation; dft.py; needs shape);
     'mxu_fast' — same at Precision.HIGH (bf16x3): ~2x fewer MXU passes;
+    'mxu4'     — four-step factorized DFT (dft.py): O(N^2(N1+N2)) matmul
+                 FLOPs instead of O(N^3), Precision.HIGHEST;
+    'mxu4_fast'— four-step at Precision.HIGH;
     'auto'     — accuracy-preserving winner per grid size;
     'auto_fast'— throughput winner per grid size (exit-wave error ~2e-3
                  at 512^2 x 64 slices — fine for STEM/detector signals and
@@ -154,6 +157,19 @@ def make_slice_step(
             jax.lax.Precision.HIGH if kind == "mxu_fast" else jax.lax.Precision.HIGHEST
         )
         return make_mxu_slice_step(
+            *shape, dtype=dtype or jnp.complex64, precision=precision
+        )
+    if kind in ("mxu4", "mxu4_fast"):
+        if shape is None:
+            raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        from .dft import make_mxu4_slice_step
+
+        precision = (
+            jax.lax.Precision.HIGH
+            if kind == "mxu4_fast"
+            else jax.lax.Precision.HIGHEST
+        )
+        return make_mxu4_slice_step(
             *shape, dtype=dtype or jnp.complex64, precision=precision
         )
     raise ValueError(f"unknown slice-step kind {kind!r}")

@@ -195,3 +195,73 @@ def test_pallas_absorptive_transmit_matches_jnp(fields):
     gj = jax.grad(loss_j, argnums=(0, 1))(v, v_abs)
     for a, b in zip(gp, gj):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
+
+def test_four_step_dft_matches_fft2():
+    """fft2_4step/ifft2_4step == jnp.fft up to the documented digit-split
+    layout, f64-exact; batch dims broadcast (dft.py four-step section)."""
+    from fdes_tpu.dft import (
+        fft2_4step,
+        four_step_factors,
+        ifft2_4step,
+        permute_spectrum,
+        split_radix,
+    )
+
+    rng = np.random.default_rng(11)
+    ny, nx = 48, 64
+    x = jnp.asarray(
+        (rng.normal(size=(3, ny, nx)) + 1j * rng.normal(size=(3, ny, nx))).astype(
+            np.complex128
+        )
+    )
+    sy, sx = split_radix(ny), split_radix(nx)
+    fwd_y, inv_y = four_step_factors(ny, sy, jnp.complex128)
+    fwd_x, inv_x = four_step_factors(nx, sx, jnp.complex128)
+    spec = fft2_4step(x, fwd_y, fwd_x)
+    ref = np.fft.fft2(np.asarray(x))
+    # layout: spec[..., ky1, ky2, kx1, kx2] == X[ky2*M1+ky1, kx2*K1+kx1]
+    ref_split = np.stack(
+        [np.asarray(permute_spectrum(jnp.asarray(r), sy, sx)) for r in ref]
+    )
+    np.testing.assert_allclose(np.asarray(spec), ref_split, atol=1e-9)
+    # round trip back to natural layout
+    np.testing.assert_allclose(
+        np.asarray(ifft2_4step(spec, inv_y, inv_x)), np.asarray(x), atol=1e-10
+    )
+
+
+def test_mxu4_step_matches(fields):
+    """Four-step MXU slice step == FFT slice step, fwd + grad."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.3 * v])
+    step = make_slice_step("mxu4", shape=psi.shape, dtype=psi.dtype)
+    out_m = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    out_j = multislice(psi, v_stack, prop, sigma)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_j), atol=1e-4)
+
+    def loss(vs, stepper):
+        out = multislice(psi, vs, prop, sigma, slice_step=stepper)
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    gm = jax.grad(loss)(v_stack, step)
+    gj = jax.grad(loss)(v_stack, None)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gj), rtol=5e-3, atol=5e-3)
+
+
+def test_mxu4_batched_matches(fields):
+    """mxu4 under vmap (the production STEM batch shape) == xla path."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.3 * v])
+    psi_b = jnp.stack([psi, psi * (0.5 + 0.1j)])
+    step = make_slice_step("mxu4_fast", shape=psi.shape, dtype=psi.dtype)
+    roll = lambda p, s: multislice(p, v_stack, prop, sigma, slice_step=s)
+    out_m = jax.vmap(lambda p: roll(p, step))(psi_b)
+    out_j = jax.vmap(lambda p: roll(p, None))(psi_b)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_j), atol=1e-4)
