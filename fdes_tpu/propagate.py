@@ -118,6 +118,15 @@ def make_slice_step(
     'mxu4'     — four-step factorized DFT (dft.py): O(N^2(N1+N2)) matmul
                  FLOPs instead of O(N^3), Precision.HIGHEST;
     'mxu4_fast'— four-step at Precision.HIGH;
+    'radix'    — mixed-radix MXU FFT (radix.py): radix-2/4 butterflies +
+                 full-width 128-point matmul base, O(N^2 * 128) MXU FLOPs,
+                 Precision.HIGHEST; needs axes = 128 * 2^m;
+    'radix_fast' — same at Precision.HIGH;
+    'fused'    — whole slice step (transmit + mixed-radix MXU FFT + Fresnel
+                 + inverse) as ONE VMEM-resident Pallas kernel
+                 (pallas/fused_step.py), Precision.HIGHEST; square
+                 128/256/512 grids;
+    'fused_fast' — same at Precision.HIGH;
     'auto'     — accuracy-preserving winner per grid size;
     'auto_fast'— throughput winner per grid size (exit-wave error ~2e-3
                  at 512^2 x 64 slices — fine for STEM/detector signals and
@@ -170,6 +179,32 @@ def make_slice_step(
             else jax.lax.Precision.HIGHEST
         )
         return make_mxu4_slice_step(
+            *shape, dtype=dtype or jnp.complex64, precision=precision
+        )
+    if kind in ("radix", "radix_fast"):
+        if shape is None:
+            raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        from .radix import make_radix_slice_step
+
+        precision = (
+            jax.lax.Precision.HIGH
+            if kind == "radix_fast"
+            else jax.lax.Precision.HIGHEST
+        )
+        return make_radix_slice_step(
+            *shape, dtype=dtype or jnp.complex64, precision=precision
+        )
+    if kind in ("fused", "fused_fast"):
+        if shape is None:
+            raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        from .pallas.fused_step import make_fused_slice_step
+
+        precision = (
+            jax.lax.Precision.HIGH
+            if kind == "fused_fast"
+            else jax.lax.Precision.HIGHEST
+        )
+        return make_fused_slice_step(
             *shape, dtype=dtype or jnp.complex64, precision=precision
         )
     raise ValueError(f"unknown slice-step kind {kind!r}")

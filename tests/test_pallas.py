@@ -265,3 +265,135 @@ def test_mxu4_batched_matches(fields):
     out_m = jax.vmap(lambda p: roll(p, step))(psi_b)
     out_j = jax.vmap(lambda p: roll(p, None))(psi_b)
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_j), atol=1e-4)
+
+
+def test_radix_step_matches(fields):
+    """Mixed-radix MXU FFT slice step == FFT slice step, fwd + grad
+    (radix.py; 128^2 exercises the pure matmul base)."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.3 * v])
+    step = make_slice_step("radix", shape=psi.shape, dtype=psi.dtype)
+    out_m = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    out_j = multislice(psi, v_stack, prop, sigma)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_j), atol=1e-4)
+
+    def loss(vs, stepper):
+        out = multislice(psi, vs, prop, sigma, slice_step=stepper)
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    gm = jax.grad(loss)(v_stack, step)
+    gj = jax.grad(loss)(v_stack, None)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gj), rtol=5e-3, atol=5e-3)
+
+
+def test_radix_step_butterfly_grid():
+    """Radix engine on a rectangular 256x512 grid (radix-2 and radix-4
+    butterfly stages) under vmap == the xla path."""
+    from fdes_tpu.propagate import make_slice_step
+
+    rng = np.random.default_rng(7)
+    ny, nx = 256, 512
+    grid = Grid(ny=ny, nx=nx, py=0.3, px=0.3)
+    psi = jnp.asarray(
+        (rng.normal(size=(2, ny, nx)) + 1j * rng.normal(size=(2, ny, nx))).astype(
+            np.complex64
+        )
+    )
+    v_stack = jnp.asarray((rng.normal(size=(3, ny, nx)) * 30.0).astype(np.float32))
+    prop = jnp.asarray(
+        fresnel_propagator(grid, wavelength_A(KV), 1.8).astype(np.complex64)
+    )
+    sigma = interaction_sigma(KV)
+    step = make_slice_step("radix_fast", shape=(ny, nx), dtype=psi.dtype)
+    roll = lambda p, s: multislice(p, v_stack, prop, sigma, slice_step=s)
+    out_m = jax.vmap(lambda p: roll(p, step))(psi)
+    out_j = jax.vmap(lambda p: roll(p, None))(psi)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_j), atol=1e-4)
+
+
+def test_radix_fft_exact_f64():
+    """fft2_radix == np.fft.fft2 (digit-split layout) and round-trips,
+    f64-exact, on a grid with both radix-4 and radix-2 stages."""
+    from fdes_tpu.radix import (
+        axis_constants,
+        fft2_radix,
+        ifft2_radix,
+        permute_spectrum_radix,
+    )
+
+    rng = np.random.default_rng(11)
+    ny, nx = 1024, 256
+    x = jnp.asarray(rng.normal(size=(ny, nx)) + 1j * rng.normal(size=(ny, nx)))
+    cy = axis_constants(ny, jnp.complex128)
+    cx = axis_constants(nx, jnp.complex128)
+    spec = fft2_radix(x, cy, cx)
+    ref = permute_spectrum_radix(jnp.asarray(np.fft.fft2(np.asarray(x))), ny, nx)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(np.asarray(spec) / scale, np.asarray(ref) / scale, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(ifft2_radix(spec, cy, cx)), np.asarray(x), atol=1e-11
+    )
+
+
+def test_fused_step_matches(fields):
+    """Fully-fused VMEM slice step (pallas/fused_step.py) == xla path,
+    fwd + grad.  The grad loss includes a target: with real V and a pure
+    phase propagator the step is UNITARY, so sum|out|^2 is conserved and
+    its true V-gradient is zero — comparing noise to noise."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.3 * v, 0.7 * v])
+    rng = np.random.default_rng(13)
+    tgt = jnp.asarray(
+        (rng.random(psi.shape) + 1j * rng.random(psi.shape)).astype(np.complex64)
+    )
+    step = make_slice_step("fused", shape=psi.shape, dtype=psi.dtype)
+    out_f = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    out_j = multislice(psi, v_stack, prop, sigma)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_j), atol=2e-5)
+
+    def loss(vs, stepper):
+        out = multislice(psi, vs, prop, sigma, slice_step=stepper)
+        return jnp.sum(jnp.abs(out - tgt) ** 2)
+
+    gf = np.asarray(jax.grad(loss)(v_stack, step))
+    gj = np.asarray(jax.grad(loss)(v_stack, None))
+    np.testing.assert_allclose(gf, gj, rtol=2e-4, atol=2e-4 * np.abs(gj).max())
+
+    # grad wrt the wave (the adjoint error-wave channel, SURVEY.md §3.2)
+    def loss_p(p, stepper):
+        out = multislice(p, v_stack, prop, sigma, slice_step=stepper)
+        return jnp.sum(jnp.abs(out - tgt) ** 2)
+
+    gpf = np.asarray(jax.grad(loss_p)(psi, step))
+    gpj = np.asarray(jax.grad(loss_p)(psi, None))
+    np.testing.assert_allclose(gpf, gpj, rtol=2e-4, atol=2e-4 * np.abs(gpj).max())
+
+
+def test_fused_step_vmap_256():
+    """Fused step under vmap (STEM batch) at 256^2 (radix-2 stage) == xla."""
+    from fdes_tpu.propagate import make_slice_step
+
+    rng = np.random.default_rng(17)
+    n = 256
+    grid = Grid(ny=n, nx=n, py=0.3, px=0.3)
+    psi = jnp.asarray(
+        (rng.normal(size=(2, n, n)) + 1j * rng.normal(size=(2, n, n))).astype(
+            np.complex64
+        )
+    )
+    v_stack = jnp.asarray((rng.normal(size=(3, n, n)) * 30.0).astype(np.float32))
+    prop = jnp.asarray(
+        fresnel_propagator(grid, wavelength_A(KV), 1.8).astype(np.complex64)
+    )
+    sigma = interaction_sigma(KV)
+    step = make_slice_step("fused_fast", shape=(n, n), dtype=psi.dtype)
+    roll = lambda p, s: multislice(p, v_stack, prop, sigma, slice_step=s)
+    out_f = jax.vmap(lambda p: roll(p, step))(psi)
+    out_j = jax.vmap(lambda p: roll(p, None))(psi)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_j), atol=2e-5)
