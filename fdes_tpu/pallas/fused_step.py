@@ -101,11 +101,46 @@ def _butterfly(parts, r: int, sign: float):
     ]
 
 
-def _cdot(ar, ai, br, bi, precision):
-    """Complex matmul on planes: (M, K) @ (K, N) as 4 real MXU dots."""
+_DOT_DIMS = (((1,), (0,)), ((), ()))
+
+
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 planes with x ~= hi + lo (error ~2^-16 rel)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b):
+    """f32-accurate-to-~1e-7 matmul from 3 single-pass bf16 MXU dots —
+    the Precision.HIGH emulation XLA uses, done by hand because Mosaic
+    only lowers DEFAULT and HIGHEST dot precisions."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
     dot = functools.partial(
         jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=_DOT_DIMS,
+        preferred_element_type=jnp.float32,
+    )
+    return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+
+
+def _cdot(ar, ai, br, bi, precision):
+    """Complex matmul on planes: (M, K) @ (K, N).
+
+    precision='bf16x3' (the 'fused_fast' tier): Karatsuba 3-multiply
+    complex arithmetic x bf16x3 per real product = 9 single-pass MXU dots.
+    Otherwise (HIGHEST): 4 true-f32 dots — no Karatsuba, its imaginary-
+    part cancellation would cost the accuracy tier a digit.
+    """
+    if precision == "bf16x3":
+        m1 = _dot3(ar, br)
+        m2 = _dot3(ai, bi)
+        m3 = _dot3(ar + ai, br + bi)
+        return m1 - m2, m3 - m1 - m2
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=_DOT_DIMS,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -152,19 +187,10 @@ def _fft_y(zr, zi, r, twr, twi, fr, fi, precision, adjoint: bool):
     n, nx = zr.shape
     a3r = zr.reshape(r, BASE, nx)
     a3i = zi.reshape(r, BASE, nx)
-    dot = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
 
     def base(br, bi, conj_f):
         fi_ = -fi if conj_f else fi
-        return (
-            dot(fr, br) - dot(fi_, bi),
-            dot(fr, bi) + dot(fi_, br),
-        )
+        return _cdot(fr, fi_, br, bi, precision)
 
     if adjoint:
         mm = [base(a3r[q], a3i[q], True) for q in range(r)]

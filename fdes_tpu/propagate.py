@@ -199,10 +199,10 @@ def make_slice_step(
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
         from .pallas.fused_step import make_fused_slice_step
 
+        # Mosaic has no Precision.HIGH lowering; the fast tier uses the
+        # kernel's hand-rolled Karatsuba x bf16-split dots instead.
         precision = (
-            jax.lax.Precision.HIGH
-            if kind == "fused_fast"
-            else jax.lax.Precision.HIGHEST
+            "bf16x3" if kind == "fused_fast" else jax.lax.Precision.HIGHEST
         )
         return make_fused_slice_step(
             *shape, dtype=dtype or jnp.complex64, precision=precision

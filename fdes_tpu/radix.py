@@ -65,12 +65,18 @@ def radix_plan(n: int) -> tuple[int, ...] | None:
 
 @functools.lru_cache(maxsize=64)
 def _axis_constants_host(n: int, dtype_name: str):
-    """Host (twiddles, F_base, G_base) for one axis of length n.
+    """Host (twiddles, F_base, G_base, G_folded, H_folded) for one axis.
 
     twiddles[s] has shape (r_s, L_s // r_s) with L_s the sub-transform
     length at stage s: T_s[q, m] = W_{L_s}^{q m}.  G_base = conj(F_base)/n
     (the WHOLE 1/n inverse fold lives here — butterfly/twiddle adjoints
     are pure conjugates).
+
+    For SINGLE-stage plans (n <= 512) the twiddle is folded into per-digit
+    base matrices instead: G_folded[q] = diag(tw[q]) @ F_base (right-side
+    application), H_folded[q] = conj(G_folded[q]).T / n — one elementwise
+    pass and one pre-matmul stack fewer per transform (the twiddle pass
+    measured ~15%% of the radix engine's device time at 512^2).
     """
     radices = radix_plan(n)
     if radices is None:
@@ -86,10 +92,17 @@ def _axis_constants_host(n: int, dtype_name: str):
         length = m
     j = np.arange(BASE)
     f = np.exp(-2.0j * np.pi * j[:, None] * j[None, :] / BASE)
+    gq = hq = None
+    if len(radices) == 1:
+        g64 = tws[0].astype(np.complex128)[:, :, None] * f[None, :, :]
+        gq = g64.astype(dtype_name)
+        hq = (np.conj(np.transpose(g64, (0, 2, 1))) / n).astype(dtype_name)
     return (
         tuple(tws),
         f.astype(dtype_name),
         (np.conj(f) / n).astype(dtype_name),
+        gq,
+        hq,
     )
 
 
@@ -106,16 +119,34 @@ def _butterfly(parts: list, radix: int, sign: float):
     return [s0 + s2, s1 + i_s3, s0 - s2, s1 - i_s3]
 
 
-def _fft_last_axis(x, tws, f_base, precision, adjoint: bool):
+def _fft_last_axis(x, c, precision, adjoint: bool):
     """Forward (adjoint=False): natural last axis -> digit-split layout.
-    Adjoint=True: digit-split -> natural (caller supplies conj constants).
+    Adjoint=True: digit-split -> natural.
 
     The last axis is reshaped to (r_0, r_1, ..., 128); butterflies act on
     the leading digits (slice + add — XLA fuses), the base transform is
-    one (merged_rows, 128) @ (128, 128) matmul.
+    one (merged_rows, 128) @ (128, 128) matmul — or, single-stage plans,
+    one (rows, 128) @ G_folded[q] matmul per digit with the twiddle
+    pre-folded into the matrix (no separate twiddle pass).
     """
+    tws, f, g, gq, hq = c
     lead = x.shape[:-1]
     n = x.shape[-1]
+    if gq is not None:
+        r0 = gq.shape[0]
+        r3 = x.reshape(*lead, r0, BASE)
+        if adjoint:
+            parts = [r3[..., q, :] @ jnp.asarray(hq[q]) for q in range(r0)]
+            outs = _butterfly(parts, r0, +1.0)
+        else:
+            parts = [r3[..., p, :] for p in range(r0)]
+            outs = _butterfly(parts, r0, -1.0)
+            outs = [
+                jnp.matmul(o, jnp.asarray(gq[q]), precision=precision)
+                for q, o in enumerate(outs)
+            ]
+        return jnp.stack(outs, axis=-2).reshape(*lead, n)
+    f_base = g if adjoint else f
     radices = tuple(t.shape[0] for t in tws)
     dims = (*radices, BASE)
     r = x.reshape(*lead, *dims)
@@ -150,12 +181,42 @@ def _fft_last_axis(x, tws, f_base, precision, adjoint: bool):
     return r.reshape(*lead, n)
 
 
-def _fft_y_axis(x, tws, f_base, precision, adjoint: bool):
+def _fft_y_axis(x, c, precision, adjoint: bool):
     """Same transform along axis -2 of (..., ny, nx); nx rides along as
     the trailing block so the base matmul is (128,128) @ (128, nx) batched
     over the leading dims — the proven full-utilization MXU pattern."""
+    tws, f, g, gq, hq = c
     lead = x.shape[:-2]
     ny, nx = x.shape[-2:]
+    if gq is not None:
+        r0 = gq.shape[0]
+        r3 = x.reshape(*lead, r0, BASE, nx)
+        if adjoint:
+            # left-adjoint of G_q^T is conj(G_q) = n * H_q^T
+            parts = [
+                jnp.einsum(
+                    "ij,...jx->...ix",
+                    jnp.asarray(np.transpose(hq[q])),
+                    r3[..., q, :, :],
+                    precision=precision,
+                )
+                for q in range(r0)
+            ]
+            outs = _butterfly(parts, r0, +1.0)
+        else:
+            parts = [r3[..., p, :, :] for p in range(r0)]
+            outs = _butterfly(parts, r0, -1.0)
+            outs = [
+                jnp.einsum(
+                    "ij,...jx->...ix",
+                    jnp.asarray(np.transpose(gq[q])),
+                    o,
+                    precision=precision,
+                )
+                for q, o in enumerate(outs)
+            ]
+        return jnp.stack(outs, axis=-3).reshape(*lead, ny, nx)
+    f_base = g if adjoint else f
     radices = tuple(t.shape[0] for t in tws)
     dims = (*radices, BASE)
     nd = len(dims) + 1  # + trailing nx
@@ -197,18 +258,14 @@ def axis_constants(n: int, dtype=jnp.complex64):
 def fft2_radix(x, cy, cx, precision=jax.lax.Precision.HIGHEST):
     """2-D FFT of (..., ny, nx), BOTH axes in digit-split layout (module
     docstring).  Matches jnp.fft.fft2 up to the per-axis permutation."""
-    tws_x, f_x, _ = cx
-    tws_y, f_y, _ = cy
-    x = _fft_last_axis(x, tws_x, f_x, precision, adjoint=False)
-    return _fft_y_axis(x, tws_y, f_y, precision, adjoint=False)
+    x = _fft_last_axis(x, cx, precision, adjoint=False)
+    return _fft_y_axis(x, cy, precision, adjoint=False)
 
 
 def ifft2_radix(spec, cy, cx, precision=jax.lax.Precision.HIGHEST):
     """Inverse of fft2_radix: digit-split spectrum -> natural (..., ny, nx)."""
-    tws_x, _, g_x = cx
-    tws_y, _, g_y = cy
-    spec = _fft_y_axis(spec, tws_y, g_y, precision, adjoint=True)
-    return _fft_last_axis(spec, tws_x, g_x, precision, adjoint=True)
+    spec = _fft_y_axis(spec, cy, precision, adjoint=True)
+    return _fft_last_axis(spec, cx, precision, adjoint=True)
 
 
 def digit_permutation(n: int) -> np.ndarray:
