@@ -24,12 +24,6 @@ import time
 import numpy as np
 
 
-#: round-1's measured headline (BASELINE.md "Measured (round 1)" row) —
-#: the fallback comparison point when no BENCH_r*.json parses (round 1's
-#: official capture crashed before printing, so its file has no value).
-_ROUND1_MEASURED = 8408.0
-
-
 def _previous_round_value() -> float | None:
     best = None
     for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
@@ -46,7 +40,9 @@ def _previous_round_value() -> float | None:
             rnd = int(m.group(1))
             if best is None or rnd > best[0]:
                 best = (rnd, val)
-    return best[1] if best else _ROUND1_MEASURED
+    # None (vs_baseline reported as null) when no prior artifact parses —
+    # a hardcoded fallback would silently go stale (ADVICE.md round 2)
+    return best[1] if best else None
 
 
 def main() -> int:
@@ -174,7 +170,7 @@ def _measure() -> int:
                 "metric": "slice_propagations_per_s_per_chip",
                 "value": round(slice_props, 2),
                 "unit": "slice-props/s/chip",
-                "vs_baseline": round(slice_props / prev, 3) if prev else 1.0,
+                "vs_baseline": round(slice_props / prev, 3) if prev else None,
                 "engine": engine,
                 "config": f"{n}x{n}x{nslices}x{nprobes}probes",
             }

@@ -394,7 +394,15 @@ def main(argv: list[str] | None = None) -> int:
                 # poisson_nll consumes COUNTS (loss.py); intensities would
                 # shift the ML minimum to sim = I/dose for any dose != 1
                 i_obs = cfg.recon.dose * i_obs
-        i_obs = shard_series(mesh, i_obs)
+        if i_obs.ndim >= 3:
+            i_obs = shard_series(mesh, i_obs)
+        elif mesh is not None:
+            # a single 2-D observed image has no measurement axis: axis 0 is
+            # the image row axis, so replicate instead of sharding it
+            # (ADVICE.md round 2)
+            from .sharding import replicated
+
+            i_obs = jax.device_put(i_obs, replicated(mesh))
 
         loss_fn = make_loss(
             fwd, None, l2_weight=cfg.recon.l2_weight, tv_weight=cfg.recon.tv_weight,

@@ -188,7 +188,9 @@ def reconstruct(
         # tunnel-poisoning) readback
         opt_state = jax.tree.map(
             lambda like, val: safe_put(
-                np.asarray(val, like.dtype),
+                # non-array leaves (Python scalars in some optax states) have
+                # no .dtype — fall back to numpy inference (ADVICE.md round 2)
+                np.asarray(val, getattr(like, "dtype", None)),
                 like.sharding if hasattr(like, "sharding") else None,
             ),
             opt_state,

@@ -74,15 +74,38 @@ def safe_put(x, device=None):
         return jax.device_put(x, device)
     x = np.asarray(x)
     if np.iscomplexobj(x):
+        if x.dtype == np.complex128:
+            _warn_downcast("complex128", "complex64")
         rdt = np.float32  # c128 host constants downcast (no f64 on TPU)
         re = jax.device_put(np.ascontiguousarray(x.real, dtype=rdt), device)
         im = jax.device_put(np.ascontiguousarray(x.imag, dtype=rdt), device)
         return _combine_fn()(re, im)
     if x.dtype == np.float64:
+        _warn_downcast("float64", "float32")
         x = x.astype(np.float32)
     elif x.dtype == np.int64:
+        _warn_downcast("int64", "int32")
         x = x.astype(np.int32)
     return jax.device_put(np.ascontiguousarray(x), device)
+
+
+_warned_downcasts: set = set()
+
+
+def _warn_downcast(src: str, dst: str) -> None:
+    """One-time-per-dtype warning when safe_put silently narrows a host
+    constant for the TPU — with jax_enable_x64 set this is a real precision
+    loss the caller should know about (ADVICE.md round 2)."""
+    if src in _warned_downcasts:
+        return
+    _warned_downcasts.add(src)
+    import warnings
+
+    warnings.warn(
+        f"safe_put: downcasting {src} host buffer to {dst} for the TPU "
+        "backend (no f64 on TPU); pre-cast with grids.host_cast to silence",
+        stacklevel=3,
+    )
 
 
 def _fetch_real(x, tries: int, wait_s: float):
