@@ -81,8 +81,25 @@ def main(argv: list[str] | None = None) -> int:
     # Shard the measurement axis over all devices (C19 product path): the
     # defocus/tilt/probe series splits across the mesh, V stays replicated,
     # and GSPMD inserts the single gradient psum (SURVEY.md §2.2).
+    #
+    # A mesh axis named 'grid' switches forward/invert to the TENSOR-
+    # PARALLEL path instead (gridshard.py): the (y, x) field rows shard
+    # over it, V and its gradient stay row-sharded (the pod-scale inverse
+    # where V+grad = 16 GiB cannot replicate — BASELINE.md config 5), and
+    # any 'data' axis still shards the measurement series on top
+    # (('data', 'grid') composition).  Configure with e.g.
+    #   [mesh]  axis_names = ["data", "grid"]  shape = [2, 4]
     mesh = build_mesh(cfg)
-    sim = shard_sim(sim, mesh)
+    use_gridshard = mesh is not None and "grid" in mesh.axis_names
+    if use_gridshard and cfg.mode not in ("forward", "invert"):
+        print(
+            f"mesh axis 'grid' supports modes forward/invert only (got "
+            f"{cfg.mode!r}); use a ('data',) mesh for stem/hrtem",
+            file=sys.stderr,
+        )
+        return 2
+    if not use_gridshard:
+        sim = shard_sim(sim, mesh)
     os.makedirs(cfg.output_dir, exist_ok=True)
     out = lambda name: os.path.join(cfg.output_dir, name)  # noqa: E731
 
@@ -137,7 +154,27 @@ def main(argv: list[str] | None = None) -> int:
             ]
         return stacks
 
-    if cfg.mode == "forward":
+    if cfg.mode == "forward" and use_gridshard:
+        from .gridshard import multislice_gridsharded, shard_field_inputs
+
+        if sim.psi0_stack is not None:
+            print(
+                "gridshard forward supports a single incident wave (no tilt "
+                "series); drop sim.tilt_series_rad or the 'grid' mesh axis",
+                file=sys.stderr,
+            )
+            return 2
+        psi0s, vs, props = shard_field_inputs(
+            mesh, sim.psi0, sim.v_stack, sim.propagator
+        )
+        psi = jax.jit(
+            lambda p, v, pr: multislice_gridsharded(
+                p, v, pr, sim.sigma, mesh
+            )
+        )(psi0s, vs, props)
+        io.write_npy(out("exit_wave.npy"), psi)
+        io.write_npy(out("potential.npy"), sim.v_stack)
+    elif cfg.mode == "forward":
         import jax.numpy as jnp
 
         from .propagate import multislice
@@ -334,7 +371,82 @@ def main(argv: list[str] | None = None) -> int:
         # device array captured by a jitted step becomes a compile-time
         # constant whose embedding needs a trace-time device->host readback
         # — unimplemented on tunneled TPU runtimes (fdes_tpu/tunnel.py).
-        if cfg.recon.modality == "stem4d":
+        if use_gridshard:
+            # Tensor-parallel inverse (VERDICT.md round-2 missing item 1):
+            # the field/V rows shard over the 'grid' axis, dL/dV comes back
+            # row-sharded (never replicating the pod-scale 16 GiB V+grad),
+            # and an optional 'data' axis shards the measurement series.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .gridshard import (
+                hrtem_defocus_series_gridsharded,
+                hrtem_tilt_series_gridsharded,
+            )
+
+            if cfg.recon.modality == "stem4d":
+                print(
+                    "recon.modality='stem4d' does not support the 'grid' "
+                    "mesh axis (probe rollouts shard over 'data' instead)",
+                    file=sys.stderr,
+                )
+                return 2
+
+            def gput(x, *spec):
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+            dax = "data" if "data" in mesh.axis_names else None
+            if dax is not None:
+                series_len = (
+                    sim.psi0_stack.shape[0]
+                    if sim.psi0_stack is not None
+                    else sim.ctf_stack.shape[0]
+                )
+                if series_len % mesh.shape[dax]:
+                    print(
+                        f"# mesh: series length {series_len} not divisible "
+                        f"by data axis {mesh.shape[dax]}; replicating the "
+                        "series over 'data'",
+                        file=sys.stderr,
+                    )
+                    dax = None
+            quad = sim.ctf_weights is not None
+            if sim.psi0_stack is not None:
+                fwd_args = (
+                    gput(sim.psi0_stack, dax, "grid", None),
+                    gput(sim.prop_stack, dax, None, "grid"),
+                    gput(
+                        sim.ctf_stack[0],
+                        *((None, None, "grid") if quad else (None, "grid")),
+                    ),
+                    sim.ctf_weights,
+                )
+
+                def fwd(v, psi0_stack, prop_stack, ctf0, weights):
+                    return hrtem_tilt_series_gridsharded(
+                        v, psi0_stack, prop_stack, sim.sigma, ctf0, mesh,
+                        weights=weights, data_axis=dax, remat_chunk=chunk,
+                    )
+            else:
+                fwd_args = (
+                    gput(sim.psi0, "grid", None),
+                    gput(sim.propagator, None, "grid"),
+                    gput(
+                        sim.ctf_stack,
+                        *(
+                            (dax, None, None, "grid")
+                            if quad
+                            else (dax, None, "grid")
+                        ),
+                    ),
+                    sim.ctf_weights,
+                )
+
+                def fwd(v, psi0, propagator, ctf_stack, weights):
+                    return hrtem_defocus_series_gridsharded(
+                        v, psi0, propagator, sim.sigma, ctf_stack, mesh,
+                        weights=weights, data_axis=dax, remat_chunk=chunk,
+                    )
+        elif cfg.recon.modality == "stem4d":
             # ptychography-style inverse from CBED stacks (beyond-reference;
             # tests/test_inverse.py::test_4dstem_ptychographic_recovery)
             from .forward import stem_raster_4d
@@ -394,7 +506,9 @@ def main(argv: list[str] | None = None) -> int:
                 # poisson_nll consumes COUNTS (loss.py); intensities would
                 # shift the ML minimum to sim = I/dose for any dose != 1
                 i_obs = cfg.recon.dose * i_obs
-        if i_obs.ndim >= 3:
+        if use_gridshard:
+            i_obs = gput(i_obs, dax, "grid", None)
+        elif i_obs.ndim >= 3:
             i_obs = shard_series(mesh, i_obs)
         elif mesh is not None:
             # a single 2-D observed image has no measurement axis: axis 0 is
@@ -409,7 +523,11 @@ def main(argv: list[str] | None = None) -> int:
             kind=cfg.recon.loss, dose=cfg.recon.dose,
         )
         v_sharding = None
-        if mesh is not None:
+        if use_gridshard:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            v_sharding = NamedSharding(mesh, PartitionSpec(None, "grid", None))
+        elif mesh is not None:
             from .sharding import replicated
 
             v_sharding = replicated(mesh)

@@ -121,6 +121,60 @@ def shard_field_inputs(
     return psi0, v_stack, propagator
 
 
+def _multislice_local(
+    psi_blk: jax.Array,
+    v_blks: jax.Array,
+    prop_blk: jax.Array,
+    sigma: float,
+    axis: str,
+    remat_chunk: int | None,
+) -> jax.Array:
+    """The per-device multislice scan body shared by every grid-sharded
+    entry point: row-sharded ψ block in, row-sharded exit-wave block out,
+    4 all_to_all collectives per slice (module docstring)."""
+
+    def body(psi, v):
+        psi = transmit(psi, v, sigma)
+        s = _fft2_local(psi, axis) * prop_blk.astype(psi.dtype)
+        return _ifft2_local(s, axis), None
+
+    s = v_blks.shape[0]
+    if not remat_chunk or remat_chunk >= s:
+        return jax.lax.scan(body, psi_blk, v_blks)[0]
+    if s % remat_chunk != 0:
+        raise ValueError(f"remat_chunk {remat_chunk} must divide nslices {s}")
+    chunks = v_blks.reshape(s // remat_chunk, remat_chunk, *v_blks.shape[1:])
+
+    @jax.checkpoint
+    def inner(psi, v_chunk):
+        return jax.lax.scan(body, psi, v_chunk)[0]
+
+    return jax.lax.scan(lambda p, c: (inner(p, c), None), psi_blk, chunks)[0]
+
+
+def _image_local(
+    psi_blk: jax.Array,
+    ctf_blk: jax.Array,
+    axis: str,
+    weights: jax.Array | None,
+) -> jax.Array:
+    """HRTEM image of a row-sharded exit-wave block with a COLUMN-sharded
+    CTF block ((ny, nx/n) — the CTF multiply happens in the spectral layout
+    the distributed FFT emits); row-sharded intensity block out.
+
+    weights: (K,) quadrature weights — then ctf_blk is (K, ny, nx/n) and
+    the image is the explicit partial-coherence average (one forward FFT of
+    ψ shared over the K nodes, as in imaging.hrtem_incoherent)."""
+    spec = _fft2_local(psi_blk, axis)
+    if weights is None:
+        img = _ifft2_local(spec * ctf_blk.astype(spec.dtype), axis)
+        return jnp.abs(img) ** 2
+    imgs = jax.vmap(
+        lambda c: jnp.abs(_ifft2_local(spec * c.astype(spec.dtype), axis)) ** 2
+    )(ctf_blk)
+    return jnp.tensordot(weights.astype(imgs.dtype), imgs, axes=1)
+
+
 def multislice_gridsharded(
     psi0: jax.Array,
     v_stack: jax.Array,
@@ -147,31 +201,138 @@ def multislice_gridsharded(
         v_shape=v_stack.shape, prop_shape=propagator.shape,
     )
 
-    def local(psi_blk, v_blks, prop_blk):
-        def body(psi, v):
-            psi = transmit(psi, v, sigma)
-            s = _fft2_local(psi, axis) * prop_blk.astype(psi.dtype)
-            return _ifft2_local(s, axis), None
-
-        s = v_blks.shape[0]
-        if not remat_chunk or remat_chunk >= s:
-            return jax.lax.scan(body, psi_blk, v_blks)[0]
-        if s % remat_chunk != 0:
-            raise ValueError(f"remat_chunk {remat_chunk} must divide nslices {s}")
-        chunks = v_blks.reshape(s // remat_chunk, remat_chunk, *v_blks.shape[1:])
-
-        @jax.checkpoint
-        def inner(psi, v_chunk):
-            return jax.lax.scan(body, psi, v_chunk)[0]
-
-        return jax.lax.scan(lambda p, c: (inner(p, c), None), psi_blk, chunks)[0]
-
     return jax.shard_map(
-        local,
+        lambda p, v, pr: _multislice_local(p, v, pr, sigma, axis, remat_chunk),
         mesh=mesh,
         in_specs=(P(axis, None), P(None, axis, None), P(None, axis)),
         out_specs=P(axis, None),
     )(psi0, v_stack, propagator)
+
+
+def hrtem_defocus_series_gridsharded(
+    v_stack: jax.Array,
+    psi0: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    ctf_stack: jax.Array,
+    mesh: Mesh,
+    *,
+    weights: jax.Array | None = None,
+    axis: str = AXIS,
+    data_axis: str | None = None,
+    remat_chunk: int | None = None,
+) -> jax.Array:
+    """Grid-sharded forward.hrtem_defocus_series: (D, ny, nx) intensities.
+
+    The rollout is shared across defoci (one scan), then each local defocus
+    applies its CTF in the distributed spectral layout — the whole series is
+    ONE shard_map region, so XLA schedules the slice-loop collectives and
+    the imaging collectives in a single program.
+
+    Shardings: ψ0 row-sharded P(axis, None); V P(None, axis, None);
+    propagator and CTFs COLUMN-sharded (consumed in the spectral layout);
+    images come back P(data_axis, axis, None).  ``data_axis``: optional
+    second mesh axis sharding the defocus series — the ('data', 'grid')
+    composition for runs where the series AND the field are large
+    (BASELINE.md config 5).  The gradient wrt V is row-sharded over
+    ``axis`` and summed over ``data_axis`` automatically by shard_map's
+    transpose — the 16 GiB pod-scale V+grad never replicates (VERDICT.md
+    round-2 missing item 1).
+
+    ``weights``: (K,) quadrature weights; ctf_stack then is (D, K, ny, nx)
+    (optics.ctf_quadrature_series) and each image is the explicit
+    partial-coherence average.
+    """
+    _check(
+        mesh, axis, *psi0.shape,
+        v_shape=v_stack.shape, prop_shape=propagator.shape,
+    )
+    quad = weights is not None
+    ctf_spec = (
+        P(data_axis, None, None, axis) if quad else P(data_axis, None, axis)
+    )
+
+    def local(v_blks, psi_blk, prop_blk, ctf_blks, w):
+        psi = _multislice_local(psi_blk, v_blks, prop_blk, sigma, axis, remat_chunk)
+        return jax.vmap(lambda c: _image_local(psi, c, axis, w))(ctf_blks)
+
+    in_specs = (P(None, axis, None), P(axis, None), P(None, axis), ctf_spec)
+    args = (v_stack, psi0, propagator, ctf_stack)
+    if quad:
+        in_specs = in_specs + (P(),)
+        args = args + (weights,)
+        fn = local
+    else:
+        fn = lambda v, p, pr, c: local(v, p, pr, c, None)  # noqa: E731
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(data_axis, axis, None),
+    )(*args)
+
+
+def hrtem_tilt_series_gridsharded(
+    v_stack: jax.Array,
+    psi0_stack: jax.Array,
+    propagator_stack: jax.Array,
+    sigma: float,
+    ctf: jax.Array,
+    mesh: Mesh,
+    *,
+    weights: jax.Array | None = None,
+    axis: str = AXIS,
+    data_axis: str | None = None,
+    remat_chunk: int | None = None,
+) -> jax.Array:
+    """Grid-sharded forward.hrtem_tilt_series: (T, ny, nx) intensities.
+
+    Each tilt is an independent full rollout (tilt changes the propagator),
+    vmapped over the local tilt shard inside one shard_map region.  ctf:
+    (ny, nx) — or (K, ny, nx) with ``weights`` for explicit partial
+    coherence — consumed column-sharded.  Shardings as in
+    hrtem_defocus_series_gridsharded, with the (ψ0, P) stacks carrying the
+    tilt axis on ``data_axis``: P(data_axis, axis, None) /
+    P(data_axis, None, axis).
+    """
+    ny, nx = psi0_stack.shape[-2:]
+    _check(mesh, axis, ny, nx, v_shape=v_stack.shape)
+    if tuple(propagator_stack.shape[-2:]) != (ny, nx):
+        raise ValueError(
+            f"propagator grid {propagator_stack.shape[-2:]} != psi0 grid "
+            f"{(ny, nx)}"
+        )
+    quad = weights is not None
+    ctf_spec = P(None, None, axis) if quad else P(None, axis)
+
+    def local(v_blks, psi0_blks, prop_blks, ctf_blk, w):
+        def one(psi_blk, prop_blk):
+            psi = _multislice_local(
+                psi_blk, v_blks, prop_blk, sigma, axis, remat_chunk
+            )
+            return _image_local(psi, ctf_blk, axis, w)
+
+        return jax.vmap(one)(psi0_blks, prop_blks)
+
+    in_specs = (
+        P(None, axis, None),
+        P(data_axis, axis, None),
+        P(data_axis, None, axis),
+        ctf_spec,
+    )
+    args = (v_stack, psi0_stack, propagator_stack, ctf)
+    if quad:
+        in_specs = in_specs + (P(),)
+        args = args + (weights,)
+        fn = local
+    else:
+        fn = lambda v, p0, pr, c: local(v, p0, pr, c, None)  # noqa: E731
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(data_axis, axis, None),
+    )(*args)
 
 
 def exit_intensity_gridsharded(

@@ -100,3 +100,212 @@ def test_gridsharded_gradient_equals_single_device(si110_small, grid_mesh):
     # remat inside shard_map needs the enclosing jit (as in any real step fn)
     g_got = np.asarray(jax.jit(jax.grad(loss_sharded))(vs))
     np.testing.assert_allclose(g_got, g_want, rtol=1e-9, atol=1e-11)
+
+
+def _ctf_stack(grid, lam, defoci):
+    from fdes_tpu.optics import Aberrations, ctf_series
+
+    return jnp.asarray(ctf_series(grid, lam, np.asarray(defoci, np.float64)))
+
+
+def test_gridsharded_defocus_series_equals_forward(si110_small, grid_mesh):
+    """hrtem_defocus_series_gridsharded == forward.hrtem_defocus_series on
+    the 8-fake-device mesh (values; full imaging chain inside shard_map)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fdes_tpu.forward import hrtem_defocus_series
+    from fdes_tpu.gridshard import hrtem_defocus_series_gridsharded
+
+    _, grid, sliced = si110_small
+    psi0, v, prop, sigma = _problem(si110_small)
+    lam = f.wavelength_A(300e3)
+    ctfs = _ctf_stack(grid, lam, [-200.0, -100.0, 100.0, 200.0])
+    want = np.asarray(hrtem_defocus_series(v, psi0, prop, sigma, ctfs))
+
+    gput = lambda x, *s: jax.device_put(  # noqa: E731
+        x, NamedSharding(grid_mesh, P(*s))
+    )
+    got = hrtem_defocus_series_gridsharded(
+        gput(v, None, "grid", None),
+        gput(psi0, "grid", None),
+        gput(prop, None, "grid"),
+        sigma,
+        gput(ctfs, None, None, "grid"),
+        grid_mesh,
+    )
+    assert got.sharding.spec == P(None, "grid", None)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10, atol=1e-12)
+
+
+def test_gridsharded_tilt_series_equals_forward(si110_small, grid_mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fdes_tpu.forward import hrtem_tilt_series
+    from fdes_tpu.gridshard import hrtem_tilt_series_gridsharded
+
+    _, grid, sliced = si110_small
+    psi0, v, prop, sigma = _problem(si110_small)
+    lam = f.wavelength_A(300e3)
+    tilts = [(0.0, 0.0), (5e-3, 0.0), (0.0, -5e-3), (3e-3, 3e-3)]
+    psi0_stack = jnp.stack([psi0] * len(tilts))
+    prop_stack = jnp.stack(
+        [
+            jnp.asarray(f.fresnel_propagator(grid, lam, sliced.dz, tilt_xy_rad=t))
+            for t in tilts
+        ]
+    )
+    ctf = _ctf_stack(grid, lam, [-150.0])[0]
+    want = np.asarray(hrtem_tilt_series(v, psi0_stack, prop_stack, sigma, ctf))
+
+    gput = lambda x, *s: jax.device_put(  # noqa: E731
+        x, NamedSharding(grid_mesh, P(*s))
+    )
+    got = hrtem_tilt_series_gridsharded(
+        gput(v, None, "grid", None),
+        gput(psi0_stack, None, "grid", None),
+        gput(prop_stack, None, None, "grid"),
+        sigma,
+        gput(ctf, None, "grid"),
+        grid_mesh,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10, atol=1e-12)
+
+
+def test_gridsharded_inverse_step_equals_single_device(si110_small, grid_mesh):
+    """loss + dL/dV through the grid-sharded defocus series == single-device
+    autodiff, with the gradient coming back ROW-SHARDED (the pod-scale
+    memory contract: V+grad never replicate; VERDICT round-2 item 1)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fdes_tpu.forward import hrtem_defocus_series
+    from fdes_tpu.gridshard import hrtem_defocus_series_gridsharded
+    from fdes_tpu.loss import make_loss
+
+    _, grid, sliced = si110_small
+    psi0, v, prop, sigma = _problem(si110_small)
+    lam = f.wavelength_A(300e3)
+    ctfs = _ctf_stack(grid, lam, [-200.0, 100.0])
+    i_obs = hrtem_defocus_series(v, psi0, prop, sigma, ctfs) * 1.05
+
+    def fwd_single(v_, psi0_, prop_, ctfs_):
+        return hrtem_defocus_series(v_, psi0_, prop_, sigma, ctfs_)
+
+    loss_single = make_loss(fwd_single, None)
+    l_want, g_want = jax.value_and_grad(loss_single)(v, i_obs, psi0, prop, ctfs)
+
+    gput = lambda x, *s: jax.device_put(  # noqa: E731
+        x, NamedSharding(grid_mesh, P(*s))
+    )
+
+    def fwd_sharded(v_, psi0_, prop_, ctfs_):
+        return hrtem_defocus_series_gridsharded(
+            v_, psi0_, prop_, sigma, ctfs_, grid_mesh, remat_chunk=2
+        )
+
+    loss_sharded = make_loss(fwd_sharded, None)
+    l_got, g_got = jax.jit(jax.value_and_grad(loss_sharded))(
+        gput(v, None, "grid", None),
+        gput(i_obs, None, "grid", None),
+        gput(psi0, "grid", None),
+        gput(prop, None, "grid"),
+        gput(ctfs, None, None, "grid"),
+    )
+    assert g_got.sharding.spec == P(None, "grid", None)
+    np.testing.assert_allclose(float(l_got), float(l_want), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_want), rtol=1e-9, atol=1e-11
+    )
+
+
+def test_data_grid_mesh_composition(si110_small):
+    """('data', 'grid') 2-D mesh: defocus series sharded over 'data', field
+    rows over 'grid'; values AND dL/dV equal single-device (the config-5
+    composition — VERDICT round-2 missing item 1)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fdes_tpu.forward import hrtem_defocus_series
+    from fdes_tpu.gridshard import hrtem_defocus_series_gridsharded
+    from fdes_tpu.loss import make_loss
+
+    mesh = make_mesh(axis_names=("data", "grid"), shape=(2, 4))
+    _, grid, sliced = si110_small
+    psi0, v, prop, sigma = _problem(si110_small)
+    lam = f.wavelength_A(300e3)
+    ctfs = _ctf_stack(grid, lam, [-200.0, -100.0, 100.0, 200.0])
+    i_obs = hrtem_defocus_series(v, psi0, prop, sigma, ctfs) * 0.97
+
+    def fwd_single(v_, psi0_, prop_, ctfs_):
+        return hrtem_defocus_series(v_, psi0_, prop_, sigma, ctfs_)
+
+    l_want, g_want = jax.value_and_grad(make_loss(fwd_single, None))(
+        v, i_obs, psi0, prop, ctfs
+    )
+
+    gput = lambda x, *s: jax.device_put(x, NamedSharding(mesh, P(*s)))  # noqa: E731
+
+    def fwd_sharded(v_, psi0_, prop_, ctfs_):
+        return hrtem_defocus_series_gridsharded(
+            v_, psi0_, prop_, sigma, ctfs_, mesh, data_axis="data",
+            remat_chunk=2,
+        )
+
+    vs = gput(v, None, "grid", None)
+    got = fwd_sharded(
+        vs, gput(psi0, "grid", None), gput(prop, None, "grid"),
+        gput(ctfs, "data", None, "grid"),
+    )
+    assert got.sharding.spec == P("data", "grid", None)
+    np.testing.assert_allclose(
+        np.asarray(got),
+        np.asarray(hrtem_defocus_series(v, psi0, prop, sigma, ctfs)),
+        rtol=1e-10, atol=1e-12,
+    )
+
+    l_got, g_got = jax.jit(jax.value_and_grad(make_loss(fwd_sharded, None)))(
+        vs,
+        gput(i_obs, "data", "grid", None),
+        gput(psi0, "grid", None),
+        gput(prop, None, "grid"),
+        gput(ctfs, "data", None, "grid"),
+    )
+    np.testing.assert_allclose(float(l_got), float(l_want), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_want), rtol=1e-9, atol=1e-11
+    )
+
+
+def test_gridsharded_defocus_quadrature_weights(si110_small, grid_mesh):
+    """Explicit partial-coherence (quadrature CTF pack + weights) through
+    the grid-sharded imaging path == forward.hrtem_defocus_series."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fdes_tpu.forward import hrtem_defocus_series
+    from fdes_tpu.gridshard import hrtem_defocus_series_gridsharded
+    from fdes_tpu.optics import Aberrations, ctf_quadrature_series
+
+    _, grid, sliced = si110_small
+    psi0, v, prop, sigma = _problem(si110_small)
+    lam = f.wavelength_A(300e3)
+    quads, weights = ctf_quadrature_series(
+        grid, lam, np.asarray([-150.0, 150.0]), base=Aberrations(),
+        defocus_spread_A=30.0, source_semiangle_rad=2e-4,
+        n_defocus=3, n_tilt=3,
+    )
+    quads = jnp.asarray(quads)
+    weights = jnp.asarray(weights)
+    want = np.asarray(
+        hrtem_defocus_series(v, psi0, prop, sigma, quads, weights=weights)
+    )
+    gput = lambda x, *s: jax.device_put(  # noqa: E731
+        x, NamedSharding(grid_mesh, P(*s))
+    )
+    got = hrtem_defocus_series_gridsharded(
+        gput(v, None, "grid", None),
+        gput(psi0, "grid", None),
+        gput(prop, None, "grid"),
+        sigma,
+        gput(quads, None, None, None, "grid"),
+        grid_mesh,
+        weights=weights,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10, atol=1e-12)
