@@ -154,7 +154,49 @@ def main(argv: list[str] | None = None) -> int:
             ]
         return stacks
 
-    if cfg.mode == "forward" and use_gridshard:
+    if cfg.mode == "forward" and cfg.sim.streamed:
+        # Pod-memory forward (BASELINE.md pod-memory row): potential built
+        # per slice inside the scan; the (S, ny, nx) stack never exists.
+        import jax.numpy as jnp
+
+        from .grids import host_cast
+        from .potential import pad_atoms_per_slice, species_factors_rfft
+        from .propagate import multislice_streamed
+
+        if use_gridshard:
+            print(
+                "sim.streamed and a 'grid' mesh axis are not composable yet; "
+                "pick one (streamed already bounds single-chip memory)",
+                file=sys.stderr,
+            )
+            return 2
+        np_rdt = np.dtype(jax.numpy.dtype(sim.rdtype).name)
+        x, y, sp, w, _ = pad_atoms_per_slice(sim.sliced, np_rdt)
+        ff_r = jnp.asarray(
+            host_cast(
+                species_factors_rfft(sim.grid, sim.sliced.species, sim.table),
+                sim.rdtype,
+            )
+        )
+        atoms = tuple(jnp.asarray(a) for a in (x, y, sp, w))
+        run = jax.jit(
+            lambda p0, at, ff, pr: multislice_streamed(
+                p0, at, ff, pr, sim.sigma,
+                shape=sim.grid.shape,
+                pixel=(sim.grid.py, sim.grid.px),
+            )
+        )
+        if sim.psi0_stack is not None:
+            psi = jnp.stack(
+                [
+                    run(p0, atoms, ff_r, pr)
+                    for p0, pr in zip(sim.psi0_stack, sim.prop_stack)
+                ]
+            )
+        else:
+            psi = run(sim.psi0, atoms, ff_r, sim.propagator)
+        io.write_npy(out("exit_wave.npy"), psi)
+    elif cfg.mode == "forward" and use_gridshard:
         from .gridshard import multislice_gridsharded, shard_field_inputs
 
         if sim.psi0_stack is not None:

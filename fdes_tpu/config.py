@@ -45,6 +45,11 @@ class SimParams:
     #: >0: forward mode also writes the thickness series (exit wave after
     #: every k-th slice; must divide nslices) to thickness_series.npy
     thickness_every: int = 0
+    #: forward mode only: build each slice's potential ON THE FLY inside the
+    #: propagation scan (propagate.multislice_streamed) so the (S, ny, nx)
+    #: stack never materialises — the pod-memory policy for config-5-shaped
+    #: forwards (2048², 512 slices = 8 GiB saved; BASELINE.md pod-memory row)
+    streamed: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -110,11 +110,29 @@ def setup(cfg: Config) -> Sim:
     sigma = constants.interaction_sigma(cfg.sim.voltage_V)
 
     table = make_table(cfg)
-    v_stack = build_potential(sliced, grid, table=table, dtype=rdt)
-    if cfg.sim.absorptive_factor > 0.0:
-        # absorptive (optical) potential: imaginary part damps the wave
-        # (propagate.transmit handles complex V)
-        v_stack = v_stack + 1j * cfg.sim.absorptive_factor * jnp.abs(v_stack)
+    if cfg.sim.streamed:
+        # pod-memory policy: the potential stack is built slice-by-slice
+        # inside the propagation scan (multislice_streamed) and never
+        # materialises — only the forward mode can stream (in the inverse
+        # the stack IS the optimization variable)
+        if cfg.mode != "forward":
+            raise ValueError(
+                f"sim.streamed supports mode='forward' only (got {cfg.mode!r})"
+            )
+        for bad, name in (
+            (cfg.sim.absorptive_factor > 0.0, "sim.absorptive_factor"),
+            (cfg.sim.phonon_configs > 0, "sim.phonon_configs"),
+            (cfg.sim.thickness_every > 0, "sim.thickness_every"),
+        ):
+            if bad:
+                raise ValueError(f"sim.streamed is incompatible with {name}")
+        v_stack = None
+    else:
+        v_stack = build_potential(sliced, grid, table=table, dtype=rdt)
+        if cfg.sim.absorptive_factor > 0.0:
+            # absorptive (optical) potential: imaginary part damps the wave
+            # (propagate.transmit handles complex V)
+            v_stack = v_stack + 1j * cfg.sim.absorptive_factor * jnp.abs(v_stack)
     # safe_put: complex constants travel as two float planes (TPU tunnels
     # cannot transfer complex buffers — fdes_tpu/tunnel.py)
     prop = safe_put(

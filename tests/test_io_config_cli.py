@@ -428,3 +428,40 @@ def test_cli_forward_gridsharded_equals_single_device(tmp_path):
         assert r.returncode == 0, r.stderr[-2000:]
         results[name] = np.load(tmp_path / f"out_fgs_{name}" / "exit_wave.npy")
     np.testing.assert_allclose(results["grid8"], results["1dev"], rtol=1e-5, atol=1e-8)
+
+
+def test_cli_forward_streamed_equals_prebuilt(tmp_path):
+    """sim.streamed routes `fdes-tpu forward` through multislice_streamed
+    (potential built inside the scan — the pod-memory policy, BASELINE.md)
+    and reproduces the prebuilt-stack exit wave."""
+    results = {}
+    for name, extra in (("stack", ""), ("streamed", "streamed = true")):
+        cfg = _write_small_cfg(tmp_path, "forward")
+        text = cfg.read_text().replace(
+            f"{tmp_path}/out", f"{tmp_path}/out_st_{name}"
+        ).replace("[sim]", f"[sim]\n{extra}")
+        cfg.write_text(text)
+        r = subprocess.run(
+            [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+            env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        results[name] = np.load(tmp_path / f"out_st_{name}" / "exit_wave.npy")
+        if name == "streamed":  # the stack must NOT be written (never built)
+            assert not (tmp_path / f"out_st_{name}" / "potential.npy").exists()
+    # f32 device dtype: the per-slice rfft2 build reorders the scatter sums
+    # vs the batched builder (~1e-6 abs on unit-amplitude waves)
+    np.testing.assert_allclose(
+        results["streamed"], results["stack"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_cli_streamed_invert_rejected(tmp_path):
+    cfg = _write_small_cfg(tmp_path, "invert")
+    cfg.write_text(cfg.read_text().replace("[sim]", "[sim]\nstreamed = true"))
+    r = subprocess.run(
+        [sys.executable, "-m", "fdes_tpu.cli", str(cfg)],
+        env=CLI_ENV, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode != 0
+    assert "streamed" in (r.stderr + r.stdout)
