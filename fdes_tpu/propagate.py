@@ -127,6 +127,11 @@ def make_slice_step(
                  (pallas/fused_step.py), Precision.HIGHEST; square
                  128/256/512 grids;
     'fused_fast' — same at Precision.HIGH;
+    'fscan'    — the WHOLE slice loop as one Pallas kernel with ψ
+                 VMEM-resident across slices and V streamed/double-
+                 buffered (pallas/fused_scan.py); FORWARD-ONLY (no
+                 grad/remat), square 128/256/512 grids, Precision.HIGHEST;
+    'fscan_fast' — same with bf16x3 Karatsuba dots;
     'auto'     — accuracy-preserving winner per grid size;
     'auto_fast'— throughput winner per grid size (exit-wave error ~2e-3
                  at 512^2 x 64 slices — fine for STEM/detector signals and
@@ -192,6 +197,17 @@ def make_slice_step(
             else jax.lax.Precision.HIGHEST
         )
         return make_radix_slice_step(
+            *shape, dtype=dtype or jnp.complex64, precision=precision
+        )
+    if kind in ("fscan", "fscan_fast"):
+        if shape is None:
+            raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        from .pallas.fused_scan import make_fused_scan
+
+        precision = (
+            "bf16x3" if kind == "fscan_fast" else jax.lax.Precision.HIGHEST
+        )
+        return make_fused_scan(
             *shape, dtype=dtype or jnp.complex64, precision=precision
         )
     if kind in ("fused", "fused_fast"):
@@ -272,6 +288,15 @@ def multislice(
     pick_remat_chunk; otherwise must divide S.
     """
     step = slice_step or default_slice_step
+    if hasattr(step, "whole_scan"):
+        # whole-loop engine (pallas/fused_scan.py): the slice loop lives
+        # inside one kernel; remat is meaningless there (forward-only)
+        if remat_chunk:
+            raise ValueError(
+                f"engine {getattr(step, 'kind', 'fscan')!r} is forward-only; "
+                "remat_chunk (adjoint memory) needs a per-slice engine"
+            )
+        return step.whole_scan(psi0, v_stack, propagator, sigma)
 
     def body(psi, v_slice):
         return step(psi, v_slice, propagator, sigma), None

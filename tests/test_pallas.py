@@ -400,3 +400,46 @@ def test_fused_step_vmap_256():
     # per product, amplified over 3 strong slices): the HIGH-equivalent
     # tier, not f32-exact.
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_j), atol=2e-4)
+
+
+def test_fscan_whole_loop_matches(fields):
+    """Cross-slice fused scan (pallas/fused_scan.py): the whole slice loop
+    in one kernel, psi VMEM-resident == xla multislice. Unbatched, native
+    batch, and vmap (the STEM probe path) all hit the same grid kernel."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.3 * v, 0.7 * v, 0.1 * v])
+    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype)
+    want = np.asarray(multislice(psi, v_stack, prop, sigma))
+
+    got = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # native batch: (B, n, n) straight through propagate.multislice
+    psi_b = jnp.stack([psi, 1j * psi, psi.conj()])
+    got_b = multislice(psi_b, v_stack, prop, sigma, slice_step=step)
+    want_b = np.stack(
+        [np.asarray(multislice(p, v_stack, prop, sigma)) for p in psi_b]
+    )
+    np.testing.assert_allclose(np.asarray(got_b), want_b, atol=2e-5)
+
+    # vmap over the wave (forward.stem_raster's batching)
+    got_v = jax.vmap(
+        lambda p: multislice(p, v_stack, prop, sigma, slice_step=step)
+    )(psi_b)
+    np.testing.assert_allclose(np.asarray(got_v), want_b, atol=2e-5)
+
+
+def test_fscan_rejects_remat_and_per_slice_call(fields):
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, v])
+    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype)
+    with pytest.raises(ValueError, match="forward-only"):
+        multislice(psi, v_stack, prop, sigma, slice_step=step, remat_chunk=1)
+    with pytest.raises(TypeError, match="whole slice loop"):
+        step(psi, v, prop, sigma)
