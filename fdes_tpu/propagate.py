@@ -176,6 +176,16 @@ def make_slice_step(
     if kind in ("mxu4", "mxu4_fast"):
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        import warnings
+
+        warnings.warn(
+            f"engine {kind!r} measured 7x SLOWER than the winners on v5e "
+            "(2,521 vs 19,259 slice-props/s at 512^2x16 — its small-digit "
+            "einsums lower to ~3%-utilization convolutions; "
+            "tpu_steps.jsonl).  Kept as a documented negative result; use "
+            "'auto'/'auto_fast' unless you are re-measuring it.",
+            stacklevel=2,
+        )
         from .dft import make_mxu4_slice_step
 
         precision = (
@@ -213,6 +223,17 @@ def make_slice_step(
     if kind in ("fused", "fused_fast"):
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        import warnings
+
+        warnings.warn(
+            f"engine {kind!r} (per-slice VMEM kernel) measured SLOWER than "
+            "the radix engines it was built to beat on v5e (13,498 vs "
+            "19,259 slice-props/s at 512^2x16, with a 922 s compile; "
+            "tpu_steps.jsonl) — it re-loads psi from HBM every slice.  "
+            "Prefer 'auto'/'auto_fast', or 'fscan'/'fscan_fast' for the "
+            "cross-slice fusion (forward-only).",
+            stacklevel=2,
+        )
         from .pallas.fused_step import make_fused_slice_step
 
         # Mosaic has no Precision.HIGH lowering; the fast tier uses the
