@@ -457,6 +457,36 @@ def config6(scale, step_kind):
         )
     )
     dt, compile_s = _chained_timeit(timed, (v, pos, prop, masks), reps=3)
+
+    # PRISM's error vs the exact path at the SAME scale/engine (VERDICT.md
+    # round-2 item 8: the 8.8x speedup needs its stated cost) — raster
+    # rel-err over all detector signals, fetch-synced.
+    from fdes_tpu.forward import stem_raster
+    from fdes_tpu.tunnel import fetch_scalar as _fs
+
+    stencil = safe_put(host_cast(stencil_host, jnp.complex64))
+    qy = safe_put(host_cast(grid.qy()[:, None], jnp.float32))
+    qx = safe_put(host_cast(grid.qx()[None, :], jnp.float32))
+    sig_p = jax.jit(
+        lambda vv, p, pr, mk: prism_raster(
+            prism_smatrix(
+                plan, vv, pr, sigma, beam_chunk=beam_chunk, slice_step=step
+            ),
+            plan, p, mk, probe_chunk=probe_chunk,
+        )
+    )(v, pos, prop, masks)
+    sig_e = jax.jit(
+        lambda vv, st, p, pr, mk: stem_raster(
+            vv, st, qy, qx, p, pr, sigma, mk,
+            probe_chunk=probe_chunk, slice_step=step,
+        )
+    )(v, stencil, pos, prop, masks)
+    rel_err = _fs(
+        jax.jit(lambda a, b: jnp.linalg.norm(a - b) / jnp.linalg.norm(b))(
+            sig_p, sig_e
+        ),
+        tries=120, wait_s=20.0,
+    )
     return {
         "probes_per_s": nprobes / dt,
         "equiv_slice_props_per_s": nprobes * sliced.nslices / dt,
@@ -464,6 +494,7 @@ def config6(scale, step_kind):
         "interp": interp,
         "raster_s": dt,
         "compile_s": round(compile_s, 1),
+        "raster_rel_err_vs_exact": rel_err,
         "grid": grid.shape,
         "nslices": sliced.nslices,
         "nprobes": nprobes,

@@ -86,6 +86,7 @@ def main():
         grads = {}
         for kind in kinds:
             step = make_slice_step(kind, shape=(n, n))
+            forward_only = hasattr(step, "whole_scan")  # fscan engines
             fn = jax.jit(
                 lambda p, vv, pr, st=step: multislice(p, vv, pr, sigma, slice_step=st)
             )
@@ -97,17 +98,18 @@ def main():
             # comparison degenerates).  psi0/prop are ARGUMENTS, not
             # closures — closing over a device array forces a trace-time
             # readback (UNIMPLEMENTED through the tunnel).
-            gfn = jax.jit(
-                jax.grad(
-                    lambda vv, p0, pr, st=step: jnp.sum(
-                        jnp.real(
-                            multislice(p0, vv, pr, sigma, slice_step=st)
+            if not forward_only:
+                gfn = jax.jit(
+                    jax.grad(
+                        lambda vv, p0, pr, st=step: jnp.sum(
+                            jnp.real(
+                                multislice(p0, vv, pr, sigma, slice_step=st)
+                            )
+                            ** 2
                         )
-                        ** 2
                     )
                 )
-            )
-            grads[kind] = gfn(v, psi0, prop)  # stays on device
+                grads[kind] = gfn(v, psi0, prop)  # stays on device
             rec = {
                 "n": n,
                 "nslices": nslices,
@@ -115,7 +117,7 @@ def main():
                 "exit_rel_err_vs_f64": rel,
                 "backend": jax.default_backend(),
             }
-            if kind != "xla" and "xla" in grads:
+            if kind != "xla" and kind in grads and "xla" in grads:
                 relg = jax.jit(
                     lambda a, b: jnp.linalg.norm(a - b) / jnp.linalg.norm(b)
                 )(grads[kind], grads["xla"])
