@@ -90,7 +90,9 @@ def main():
             fn = jax.jit(
                 lambda p, vv, pr, st=step: multislice(p, vv, pr, sigma, slice_step=st)
             )
-            psi = fetch_array(fn(psi0, v, prop))
+            # tries=120: this fetch doubles as the COMPILE barrier, and
+            # remote Mosaic compiles can take 15-20+ min (tpu_steps.py)
+            psi = fetch_array(fn(psi0, v, prop), tries=120, wait_s=20.0)
             rel = float(np.linalg.norm(psi - ref) / ref_norm)
 
             # hardware grad-vs-grad on a PHASE-SENSITIVE loss (sum|psi|^2 is
@@ -121,7 +123,10 @@ def main():
                 relg = jax.jit(
                     lambda a, b: jnp.linalg.norm(a - b) / jnp.linalg.norm(b)
                 )(grads[kind], grads["xla"])
-                rec["grad_rel_err_vs_xla"] = fetch_scalar(relg)
+                # grad-compile barrier: same long-budget rationale as above
+                rec["grad_rel_err_vs_xla"] = fetch_scalar(
+                    relg, tries=120, wait_s=20.0
+                )
             print(json.dumps(rec), flush=True)
             with open(RESULTS, "a") as fh:
                 fh.write(json.dumps(rec) + "\n")

@@ -136,7 +136,15 @@ def _fft_last_axis(x, c, precision, adjoint: bool):
         r0 = gq.shape[0]
         r3 = x.reshape(*lead, r0, BASE)
         if adjoint:
-            parts = [r3[..., q, :] @ jnp.asarray(hq[q]) for q in range(r0)]
+            # precision= is LOAD-BEARING: the bare @ operator ran this one
+            # matmul at Precision.DEFAULT (single-pass bf16, ~3e-3/op) and
+            # silently degraded the whole engine to 3e-2 exit error over 64
+            # slices on hardware, invisible on CPU (round-3 tpu_accuracy
+            # measurement; the trace-level precision test now pins this).
+            parts = [
+                jnp.matmul(r3[..., q, :], jnp.asarray(hq[q]), precision=precision)
+                for q in range(r0)
+            ]
             outs = _butterfly(parts, r0, +1.0)
         else:
             parts = [r3[..., p, :] for p in range(r0)]
