@@ -182,18 +182,33 @@ def _fft_x(zr, zi, r, twr, twi, fr, fi, precision, adjoint: bool):
 
 
 def _fft_y(zr, zi, r, twr, twi, fr, fi, precision, adjoint: bool):
-    """Same transform along the FIRST axis of (N, nx) planes; the trailing
-    nx block rides through the (128, 128) @ (128, nx) base matmuls."""
+    """Same transform along the FIRST axis of (N, nx) planes.
+
+    The r digit blocks are CONCATENATED along lanes so the base transform
+    is ONE (128, 128) @ (128, r*nx) matmul instead of r small ones — the
+    MXU runs a single wide dot at full utilization where per-digit dots
+    serialized (measured round 3: the per-slice kernel spent most of its
+    60 µs/wave-slice outside the dots)."""
     n, nx = zr.shape
     a3r = zr.reshape(r, BASE, nx)
     a3i = zi.reshape(r, BASE, nx)
 
-    def base(br, bi, conj_f):
+    def base_wide(parts, conj_f):
+        """One wide dot over the lane-concatenated digit blocks."""
         fi_ = -fi if conj_f else fi
-        return _cdot(fr, fi_, br, bi, precision)
+        if len(parts) == 1:
+            mr, mi = _cdot(fr, fi_, parts[0][0], parts[0][1], precision)
+            return [(mr, mi)]
+        cr = jnp.concatenate([p[0] for p in parts], axis=1)
+        ci = jnp.concatenate([p[1] for p in parts], axis=1)
+        mr, mi = _cdot(fr, fi_, cr, ci, precision)
+        return [
+            (mr[:, q * nx : (q + 1) * nx], mi[:, q * nx : (q + 1) * nx])
+            for q in range(len(parts))
+        ]
 
     if adjoint:
-        mm = [base(a3r[q], a3i[q], True) for q in range(r)]
+        mm = base_wide([(a3r[q], a3i[q]) for q in range(r)], True)
         parts = [
             _cmul(mr_, mi_, twr[q][:, None], -twi[q][:, None])
             for q, (mr_, mi_) in enumerate(mm)
@@ -206,7 +221,7 @@ def _fft_y(zr, zi, r, twr, twi, fr, fi, precision, adjoint: bool):
             _cmul(pr_, pi_, twr[q][:, None], twi[q][:, None])
             for q, (pr_, pi_) in enumerate(outs)
         ]
-        outs = [base(pr_, pi_, False) for pr_, pi_ in outs]
+        outs = base_wide(outs, False)
     outr = jnp.stack([p[0] for p in outs], axis=0).reshape(n, nx)
     outi = jnp.stack([p[1] for p in outs], axis=0).reshape(n, nx)
     return outr, outi
