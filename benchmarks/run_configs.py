@@ -110,7 +110,7 @@ def config1(scale, step_kind):
     from fdes_tpu.propagate import make_slice_step
 
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 256, 16)
-    step = make_slice_step(step_kind, shape=grid.shape)
+    step = make_slice_step(step_kind, shape=grid.shape, grad=False)
     fwd = jax.jit(
         lambda p0, vv, pr: f.multislice(p0, vv, pr, sigma, slice_step=step)
     )
@@ -170,7 +170,7 @@ def config2(scale, step_kind):
 
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 64)
     defoci, ctfs = _ctf_stack(grid, lam)
-    step = make_slice_step(step_kind, shape=grid.shape)
+    step = make_slice_step(step_kind, shape=grid.shape, grad=False)
     timed = jax.jit(
         lambda c, vv, p0, pr, cs: jnp.sum(
             f.hrtem_defocus_series(
@@ -283,7 +283,7 @@ def config4(scale, step_kind):
             jnp.float32,
         )
     )
-    step = make_slice_step(step_kind, shape=grid.shape)
+    step = make_slice_step(step_kind, shape=grid.shape, grad=False)
     timed = jax.jit(
         lambda c, vv, p, st, y, x, pr, mk: jnp.sum(
             f.stem_raster(
@@ -441,7 +441,7 @@ def config6(scale, step_kind):
             jnp.float32,
         )
     )
-    step = make_slice_step(step_kind, shape=grid.shape)
+    step = make_slice_step(step_kind, shape=grid.shape, grad=False)
     timed = jax.jit(
         lambda c, vv, p, pr, mk: jnp.sum(
             prism_raster(

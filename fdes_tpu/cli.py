@@ -106,7 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     from .propagate import make_slice_step
 
     slice_step = make_slice_step(
-        cfg.sim.engine, shape=sim.grid.shape, dtype=sim.cdtype
+        cfg.sim.engine, shape=sim.grid.shape, dtype=sim.cdtype,
+        # the auto tiers may pick the forward-only fscan engines for
+        # forward/hrtem/stem modes; invert needs per-slice custom VJPs
+        grad=(cfg.mode == "invert"),
     )
 
     if cfg.mode in ("stem", "stem4d") and cfg.stem.method not in (

@@ -104,8 +104,44 @@ def multislice_streamed(
     return jax.lax.scan(lambda p, c: (inner(p, c), None), psi0, chunked)[0]
 
 
+def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool) -> str:
+    """Data-driven auto tiers from the v5e measurements (tpu_steps.jsonl +
+    tpu_accuracy.jsonl, 2026-08-20/21; see BASELINE.md engine tables).
+
+    ``grad=False`` admits the forward-only fscan engines (whole slice loop
+    in one VMEM-resident kernel) for forward/STEM rollouts; with
+    ``grad=True`` only per-slice engines (custom VJPs composing with
+    lax.scan + remat) are selectable — the inverse path's contract.
+
+    Round-3 measured facts encoded here:
+    * fused/fscan (HIGHEST) are the most ACCURATE engines at ≤512²
+      (2.6e-6 exit err vs xla's 6.2e-6 — Pallas real-plane f32 dots round
+      less than the VPU FFT) and faster than mxu/xla there;
+    * the *_fast tiers trade to ~7.5e-5 (fscan_fast/fused_fast, bf16x3) or
+      ~1.7e-3 (mxu_fast, bf16x3 XLA) for up to 2.1x the FFT path; the
+      throughput winner at 512²x16 is mxu_fast (18.1k) — fscan_fast
+      (16.6k) is close with 20x better accuracy but does not yet win;
+    * at 1024² batched mxu_fast still wins the fast tier (2.36k vs 1.61k);
+      at 2048² the VPU FFT wins everything, and BATCHING HURTS (xla 676
+      unbatched vs 330 at batch 8 — HBM-bound; shard probes across chips
+      instead of batching at pod grids).
+    """
+    ny, nx = shape
+    fscan_ok = ny == nx and ny in (128, 256, 512)
+    if kind == "auto":
+        if not grad and fscan_ok:
+            return "fscan"  # 14.4k @ 2.6e-6-class vs mxu's 9.2k @ 1.8e-6
+        if fscan_ok:
+            return "fused"  # 12.0k @ 2.6e-6, grad 1.4e-5 — beats mxu's 9.2k
+        return "mxu" if max(shape) <= 512 else "xla"
+    return "mxu_fast" if max(shape) <= 1024 else "xla"
+
+
 def make_slice_step(
-    kind: str = "xla", shape: tuple[int, int] | None = None, dtype=None
+    kind: str = "xla",
+    shape: tuple[int, int] | None = None,
+    dtype=None,
+    grad: bool = True,
 ) -> Callable[..., jax.Array] | None:
     """Select the slice-step implementation (benchmark-selected per grid
     size — see benchmarks/tpu_steps.py / tpu_accuracy.py):
@@ -148,14 +184,10 @@ def make_slice_step(
     O(N^2 log N) advantage for 'mxu'; 'mxu_fast' still wins at 1024^2
     batched (2.36k vs 1.61k) and loses at 2048^2.
     """
-    if kind == "auto":
+    if kind in ("auto", "auto_fast"):
         if shape is None:
-            raise ValueError("kind='auto' needs shape=(ny, nx)")
-        kind = "mxu" if max(shape) <= 512 else "xla"
-    elif kind == "auto_fast":
-        if shape is None:
-            raise ValueError("kind='auto_fast' needs shape=(ny, nx)")
-        kind = "mxu_fast" if max(shape) <= 1024 else "xla"
+            raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        kind = _resolve_auto(kind, shape, grad)
     if kind == "xla":
         return None  # multislice default
     if kind == "pallas":
@@ -223,17 +255,6 @@ def make_slice_step(
     if kind in ("fused", "fused_fast"):
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
-        import warnings
-
-        warnings.warn(
-            f"engine {kind!r} (per-slice VMEM kernel) measured SLOWER than "
-            "the radix engines it was built to beat on v5e (13,498 vs "
-            "19,259 slice-props/s at 512^2x16, with a 922 s compile; "
-            "tpu_steps.jsonl) — it re-loads psi from HBM every slice.  "
-            "Prefer 'auto'/'auto_fast', or 'fscan'/'fscan_fast' for the "
-            "cross-slice fusion (forward-only).",
-            stacklevel=2,
-        )
         from .pallas.fused_step import make_fused_slice_step
 
         # Mosaic has no Precision.HIGH lowering; the fast tier uses the
