@@ -113,27 +113,41 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool) -> str:
     ``grad=True`` only per-slice engines (custom VJPs composing with
     lax.scan + remat) are selectable — the inverse path's contract.
 
-    Round-3 measured facts encoded here:
-    * fused/fscan (HIGHEST) are the most ACCURATE engines at ≤512²
-      (2.6e-6 exit err vs xla's 6.2e-6 — Pallas real-plane f32 dots round
-      less than the VPU FFT) and faster than mxu/xla there;
-    * the *_fast tiers trade to ~7.5e-5 (fscan_fast/fused_fast, bf16x3) or
-      ~1.7e-3 (mxu_fast, bf16x3 XLA) for up to 2.1x the FFT path; the
-      throughput winner at 512²x16 is mxu_fast (18.1k) — fscan_fast
-      (16.6k) is close with 20x better accuracy but does not yet win;
-    * at 1024² batched mxu_fast still wins the fast tier (2.36k vs 1.61k);
-      at 2048² the VPU FFT wins everything, and BATCHING HURTS (xla 676
+    Round-3 measured facts encoded here (512²x16 batch, 64 slices, post
+    radix-precision-fix):
+    * accuracy tier: radix@HIGHEST is BOTH the fastest grad-capable engine
+      at 512² (15.9k slice-props/s vs mxu 9.2k, xla 8.6k) AND the most
+      accurate (1.68e-6 exit err vs xla 6.2e-6; grad 1.2e-5); at 1024²
+      batched it is more accurate (1.34e-6, grad 9.1e-6) but SLOWER than
+      the FFT (1.30k vs 1.61k — HBM-bound), so xla keeps 1024² and radix
+      stays selectable for accuracy-critical runs.  At 256² the dense mxu
+      engines dominate
+      (mxu 62k / mxu_fast 102k — the matmuls are small enough that O(N³)
+      does not hurt and radix's butterfly overhead does);
+    * fast tier: radix_fast wins 512² at 20.0k (mxu_fast 18.1k) at the
+      same ~1.7e-3 accuracy class; mxu_fast keeps 1024² (2.36k vs xla
+      1.61k) pending radix 1024² batched rows;
+    * at 2048² the VPU FFT wins everything, and BATCHING HURTS (xla 676
       unbatched vs 330 at batch 8 — HBM-bound; shard probes across chips
-      instead of batching at pod grids).
+      instead of batching at pod grids);
+    * fscan/fscan_fast (whole-loop VMEM kernels) reach 14.4k/16.5k with
+      fused-kernel accuracy (2.6e-6 / 7.5e-5) but do not beat radix tiers,
+      so they stay explicitly-selectable rather than auto-picked.
     """
+    from .radix import radix_plan
+
     ny, nx = shape
-    fscan_ok = ny == nx and ny in (128, 256, 512)
+    radix_ok = radix_plan(ny) is not None and radix_plan(nx) is not None
     if kind == "auto":
-        if not grad and fscan_ok:
-            return "fscan"  # 14.4k @ 2.6e-6-class vs mxu's 9.2k @ 1.8e-6
-        if fscan_ok:
-            return "fused"  # 12.0k @ 2.6e-6, grad 1.4e-5 — beats mxu's 9.2k
+        if max(shape) <= 256:
+            return "mxu"
+        if radix_ok and max(shape) <= 512:
+            return "radix"
         return "mxu" if max(shape) <= 512 else "xla"
+    if max(shape) <= 256:
+        return "mxu_fast"
+    if radix_ok and max(shape) <= 512:
+        return "radix_fast"
     return "mxu_fast" if max(shape) <= 1024 else "xla"
 
 

@@ -210,15 +210,25 @@ def test_frozen_golden_pack_drift():
 
 def test_make_slice_step_auto_tiers():
     """auto/auto_fast encode the measured per-grid-size winners
-    (BASELINE.md round-2 table): mxu <=512, mxu_fast <=1024, xla above."""
-    from fdes_tpu.propagate import default_slice_step, make_slice_step
+    (BASELINE.md round-3 table): mxu tiers at 256², radix tiers at 512²
+    (the post-precision-fix winners), mxu_fast holding 1024² fast tier,
+    xla at pod grids."""
+    from fdes_tpu.propagate import _resolve_auto, default_slice_step, make_slice_step
 
     import pytest
 
-    # accuracy tier: matmul-DFT at HIGHEST below the crossover, FFT above
+    assert _resolve_auto("auto", (256, 256), True) == "mxu"
+    assert _resolve_auto("auto", (512, 512), True) == "radix"
+    assert _resolve_auto("auto", (2048, 2048), True) == "xla"
+    assert _resolve_auto("auto_fast", (256, 256), True) == "mxu_fast"
+    assert _resolve_auto("auto_fast", (512, 512), True) == "radix_fast"
+    assert _resolve_auto("auto_fast", (1024, 1024), True) == "mxu_fast"
+    assert _resolve_auto("auto_fast", (2048, 2048), True) == "xla"
+    # non-128*2^m axes cannot take the radix engines: fall back, never crash
+    assert _resolve_auto("auto", (384, 384), True) == "mxu"
+    assert _resolve_auto("auto_fast", (384, 384), True) == "mxu_fast"
     assert make_slice_step("auto", shape=(512, 512)) is not None
-    assert make_slice_step("auto", shape=(1024, 1024)) is None  # xla default
-    # throughput tier keeps the MXU through 1024^2
+    assert make_slice_step("auto", shape=(2048, 2048)) is None  # xla default
     assert make_slice_step("auto_fast", shape=(1024, 1024)) is not None
     assert make_slice_step("auto_fast", shape=(2048, 2048)) is None
     with pytest.raises(ValueError):
