@@ -33,8 +33,12 @@ def _previous_round_value() -> float | None:
         try:
             with open(path) as fh:
                 data = json.load(fh)
-            val = float(data["value"]) if isinstance(data, dict) else None
-        except (ValueError, KeyError, json.JSONDecodeError, OSError):
+            if not isinstance(data, dict):
+                continue
+            # the driver wraps bench output: {"rc": .., "parsed": {"value": ..}}
+            rec = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+            val = float(rec["value"])
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError, OSError):
             continue
         if val:
             rnd = int(m.group(1))
@@ -154,7 +158,9 @@ def _measure() -> int:
     from fdes_tpu.profiling import fetch_scalar as fetch
 
     step = jax.jit(rollout_batch)
-    fetch(step(v, pos, jnp.float32(0.0), stencil, qy, qx, prop))  # compile
+    # tries=120: this fetch is the COMPILE barrier, and remote Mosaic/XLA
+    # compiles of the promoted engines can take 10-20 min on a cold cache
+    fetch(step(v, pos, jnp.float32(0.0), stencil, qy, qx, prop), tries=120, wait_s=20.0)
     t0 = time.time()
     acc = jnp.float32(0.0)
     for _ in range(reps):
