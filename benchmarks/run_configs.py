@@ -511,7 +511,11 @@ def main(argv=None):
     ap.add_argument(
         "--step",
         default="auto",
-        choices=["auto", "auto_fast", "xla", "pallas", "mxu", "mxu_fast", "all", "both"],
+        choices=[
+            "auto", "auto_fast", "xla", "pallas", "mxu", "mxu_fast",
+            "radix", "radix_fast", "fscan", "fscan_fast", "fused",
+            "fused_fast", "all", "both",
+        ],
     )
     ap.add_argument("--tag", default="")
     args = ap.parse_args(argv)
