@@ -139,7 +139,7 @@ def _measure() -> int:
     from fdes_tpu.propagate import make_slice_step, multislice
 
     engine = os.environ.get("FDES_BENCH_STEP", "auto_fast")
-    slice_step = make_slice_step(engine, shape=(n, n), grad=False)
+    slice_step = make_slice_step(engine, shape=(n, n), grad=False, batch=nprobes)
 
     def rollout_batch(v_stack, positions, carry, stencil, qy, qx, prop):
         # carry chains successive calls (output feeds input) so the timing

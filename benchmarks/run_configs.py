@@ -283,7 +283,7 @@ def config4(scale, step_kind):
             jnp.float32,
         )
     )
-    step = make_slice_step(step_kind, shape=grid.shape, grad=False)
+    step = make_slice_step(step_kind, shape=grid.shape, grad=False, batch=chunk)
     timed = jax.jit(
         lambda c, vv, p, st, y, x, pr, mk: jnp.sum(
             f.stem_raster(
@@ -441,7 +441,9 @@ def config6(scale, step_kind):
             jnp.float32,
         )
     )
-    step = make_slice_step(step_kind, shape=grid.shape, grad=False)
+    step = make_slice_step(
+        step_kind, shape=grid.shape, grad=False, batch=beam_chunk or 1
+    )
     timed = jax.jit(
         lambda c, vv, p, pr, mk: jnp.sum(
             prism_raster(

@@ -68,7 +68,7 @@ def main():
             ).astype(np.complex64)
         )
         for kind in kinds:
-            step = make_slice_step(kind, shape=(n, n))
+            step = make_slice_step(kind, shape=(n, n), grad=False, batch=batch)
 
             def run(p, vv, pr, st=step):
                 roll = lambda p0: multislice(p0, vv, pr, sigma, slice_step=st)  # noqa: E731

@@ -105,11 +105,18 @@ def main(argv: list[str] | None = None) -> int:
 
     from .propagate import make_slice_step
 
+    # auto-tier hints: grad excludes forward-only engines for the inverse;
+    # batch is the rollout count vmapped over one potential (probe raster
+    # or tilt series) — the radix tiers only win batched (propagate.py)
+    if cfg.mode in ("stem", "stem4d"):
+        batch_hint = cfg.stem.probe_chunk or cfg.stem.scan_ny * cfg.stem.scan_nx
+    elif cfg.sim.tilt_series_rad:
+        batch_hint = len(cfg.sim.tilt_series_rad)
+    else:
+        batch_hint = 1
     slice_step = make_slice_step(
         cfg.sim.engine, shape=sim.grid.shape, dtype=sim.cdtype,
-        # the auto tiers may pick the forward-only fscan engines for
-        # forward/hrtem/stem modes; invert needs per-slice custom VJPs
-        grad=(cfg.mode == "invert"),
+        grad=(cfg.mode == "invert"), batch=batch_hint,
     )
 
     if cfg.mode in ("stem", "stem4d") and cfg.stem.method not in (

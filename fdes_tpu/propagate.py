@@ -104,7 +104,7 @@ def multislice_streamed(
     return jax.lax.scan(lambda p, c: (inner(p, c), None), psi0, chunked)[0]
 
 
-def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool) -> str:
+def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> str:
     """Data-driven auto tiers from the v5e measurements (tpu_steps.jsonl +
     tpu_accuracy.jsonl, 2026-08-20/21; see BASELINE.md engine tables).
 
@@ -137,7 +137,16 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool) -> str:
     from .radix import radix_plan
 
     ny, nx = shape
-    radix_ok = radix_plan(ny) is not None and radix_plan(nx) is not None
+    # the radix tiers win only for BATCHED rollouts (the digit matmuls need
+    # the batch to fill the MXU): at 512² unbatched radix is 3.8k vs mxu's
+    # 6.1k, while at batch 16 radix is 15.9k vs mxu's 9.2k — callers pass
+    # the rollout batch (probe/tilt count vmapped over one potential) as
+    # the ``batch`` hint, defaulting to the unbatched-safe choice
+    radix_ok = (
+        batch > 1
+        and radix_plan(ny) is not None
+        and radix_plan(nx) is not None
+    )
     if kind == "auto":
         if max(shape) <= 256:
             return "mxu"
@@ -156,6 +165,7 @@ def make_slice_step(
     shape: tuple[int, int] | None = None,
     dtype=None,
     grad: bool = True,
+    batch: int = 1,
 ) -> Callable[..., jax.Array] | None:
     """Select the slice-step implementation (benchmark-selected per grid
     size — see benchmarks/tpu_steps.py / tpu_accuracy.py):
@@ -201,7 +211,7 @@ def make_slice_step(
     if kind in ("auto", "auto_fast"):
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
-        kind = _resolve_auto(kind, shape, grad)
+        kind = _resolve_auto(kind, shape, grad, batch)
     if kind == "xla":
         return None  # multislice default
     if kind == "pallas":

@@ -217,16 +217,20 @@ def test_make_slice_step_auto_tiers():
 
     import pytest
 
-    assert _resolve_auto("auto", (256, 256), True) == "mxu"
-    assert _resolve_auto("auto", (512, 512), True) == "radix"
-    assert _resolve_auto("auto", (2048, 2048), True) == "xla"
-    assert _resolve_auto("auto_fast", (256, 256), True) == "mxu_fast"
-    assert _resolve_auto("auto_fast", (512, 512), True) == "radix_fast"
-    assert _resolve_auto("auto_fast", (1024, 1024), True) == "mxu_fast"
-    assert _resolve_auto("auto_fast", (2048, 2048), True) == "xla"
+    assert _resolve_auto("auto", (256, 256), True, 16) == "mxu"
+    assert _resolve_auto("auto", (512, 512), True, 16) == "radix"
+    assert _resolve_auto("auto", (2048, 2048), True, 16) == "xla"
+    assert _resolve_auto("auto_fast", (256, 256), True, 16) == "mxu_fast"
+    assert _resolve_auto("auto_fast", (512, 512), True, 16) == "radix_fast"
+    assert _resolve_auto("auto_fast", (1024, 1024), True, 16) == "mxu_fast"
+    assert _resolve_auto("auto_fast", (2048, 2048), True, 16) == "xla"
+    # UNBATCHED rollouts keep the dense mxu tiers at 512^2 (radix only
+    # wins batched: 15.9k@b16 vs 3.8k@b1 against mxu's 9.2k/6.1k)
+    assert _resolve_auto("auto", (512, 512), True, 1) == "mxu"
+    assert _resolve_auto("auto_fast", (512, 512), True, 1) == "mxu_fast"
     # non-128*2^m axes cannot take the radix engines: fall back, never crash
-    assert _resolve_auto("auto", (384, 384), True) == "mxu"
-    assert _resolve_auto("auto_fast", (384, 384), True) == "mxu_fast"
+    assert _resolve_auto("auto", (384, 384), True, 16) == "mxu"
+    assert _resolve_auto("auto_fast", (384, 384), True, 16) == "mxu_fast"
     assert make_slice_step("auto", shape=(512, 512)) is not None
     assert make_slice_step("auto", shape=(2048, 2048)) is None  # xla default
     assert make_slice_step("auto_fast", shape=(1024, 1024)) is not None
