@@ -206,18 +206,25 @@ def config3(scale, step_kind):
     from fdes_tpu.profiling import fetch_scalar
     from fdes_tpu.propagate import pick_remat_chunk
 
+    from fdes_tpu.propagate import make_slice_step
+
     grid, sliced, kv, lam, sigma, v_true, prop, psi0 = _sim(scale, 512, 64)
     defoci, ctfs = _ctf_stack(grid, lam)
     chunk = pick_remat_chunk(sliced.nslices)
+    # grad-capable engine for the inverse rollout (unbatched: one shared
+    # rollout per step, so the auto tier resolves to the mxu engine)
+    step = make_slice_step(step_kind, shape=grid.shape, grad=True)
     # jit the synthesis: eager op-by-op dispatch is pathological through
     # remote-tunnel runtimes (each op a round trip)
     i_obs = jax.jit(
-        lambda vv, p0, pr, cs: f.hrtem_defocus_series(vv, p0, pr, sigma, cs)
+        lambda vv, p0, pr, cs: f.hrtem_defocus_series(
+            vv, p0, pr, sigma, cs, slice_step=step
+        )
     )(v_true, psi0, prop, ctfs)
 
     def loss_fn(v, psi0, prop, ctfs, i_obs):
         sim = f.hrtem_defocus_series(
-            v, psi0, prop, sigma, ctfs, remat_chunk=chunk
+            v, psi0, prop, sigma, ctfs, remat_chunk=chunk, slice_step=step
         )
         return jnp.sum((sim - i_obs) ** 2)
 
