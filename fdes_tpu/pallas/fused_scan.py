@@ -187,5 +187,8 @@ def make_fused_scan(ny: int, nx: int, dtype=jnp.complex64, precision=None):
             )
         return _single_fn(sigma, precision)(psi0, v_stack, propagator)
 
-    kind = "fscan_fast" if precision == "bf16x3" else "fscan"
+    kind = {
+        "bf16x3": "fscan_fast",
+        "bf16x1": "fscan_draft",
+    }.get(precision, "fscan")
     return WholeScanEngine(whole_scan, kind)

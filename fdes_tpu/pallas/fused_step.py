@@ -130,9 +130,23 @@ def _cdot(ar, ai, br, bi, precision):
 
     precision='bf16x3' (the 'fused_fast' tier): Karatsuba 3-multiply
     complex arithmetic x bf16x3 per real product = 9 single-pass MXU dots.
+    precision='bf16x1' (the 'fscan_draft' tier): Karatsuba x ONE bf16 pass
+    per real product = 3 dots (~3e-3/op rounding — the mxu_fast accuracy
+    class at a third of the MXU passes).
     Otherwise (HIGHEST): 4 true-f32 dots — no Karatsuba, its imaginary-
     part cancellation would cost the accuracy tier a digit.
     """
+    if precision == "bf16x1":
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=_DOT_DIMS,
+            preferred_element_type=jnp.float32,
+        )
+        b16 = jnp.bfloat16
+        m1 = dot(ar.astype(b16), br.astype(b16))
+        m2 = dot(ai.astype(b16), bi.astype(b16))
+        m3 = dot((ar + ai).astype(b16), (br + bi).astype(b16))
+        return m1 - m2, m3 - m1 - m2
     if precision == "bf16x3":
         m1 = _dot3(ar, br)
         m2 = _dot3(ai, bi)

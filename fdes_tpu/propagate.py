@@ -265,14 +265,15 @@ def make_slice_step(
         return make_radix_slice_step(
             *shape, dtype=dtype or jnp.complex64, precision=precision
         )
-    if kind in ("fscan", "fscan_fast"):
+    if kind in ("fscan", "fscan_fast", "fscan_draft"):
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
         from .pallas.fused_scan import make_fused_scan
 
-        precision = (
-            "bf16x3" if kind == "fscan_fast" else jax.lax.Precision.HIGHEST
-        )
+        precision = {
+            "fscan_fast": "bf16x3",  # ~7.5e-5 exit err class
+            "fscan_draft": "bf16x1",  # single-pass bf16: ~mxu_fast class
+        }.get(kind, jax.lax.Precision.HIGHEST)
         return make_fused_scan(
             *shape, dtype=dtype or jnp.complex64, precision=precision
         )
