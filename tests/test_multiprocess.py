@@ -112,7 +112,49 @@ WORKER = textwrap.dedent(
     assert v1.sharding.is_fully_replicated
     _, _, loss2 = train_step(v1, opt_state, psi0s, props, i_obs)
     assert float(loss2) < got, f"loss did not decrease: {got} -> {float(loss2)}"
-    print(f"proc {pid}: ok total={got}", flush=True)
+    # ---- grid-sharded (tensor-parallel) rollout across processes ------
+    # the distributed-FFT all_to_all crosses the PROCESS boundary here —
+    # the closest single-machine analog of the pod's ICI transpose
+    # (gridshard.py; round-3 pod-inverse path).
+    from fdes_tpu.gridshard import multislice_gridsharded
+
+    gmesh = make_mesh(axis_names=("grid",))
+    rows = n // nproc
+    lo_r, hi_r = pid * rows, (pid + 1) * rows
+    prop0 = props_host[0].astype(np.complex64)
+
+    def gmake(spec, local, full_shape):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(gmesh, spec), np.ascontiguousarray(local), full_shape
+        )
+
+    psi0_g = gmake(P("grid", None), np.ones((rows, n), np.complex64), (n, n))
+    v_g = gmake(
+        P(None, "grid", None),
+        v_true.astype(np.float32)[:, lo_r:hi_r, :],
+        v_true.shape,
+    )
+    prop_g = gmake(P(None, "grid"), prop0[:, lo_r:hi_r], prop0.shape)
+
+    def ref_exit(v, prop):
+        psi = np.ones((n, n), np.complex128)
+        for j in range(nslices):
+            psi = psi * np.exp(1j * sigma * v[j].astype(np.float64))
+            psi = np.fft.ifft2(np.fft.fft2(psi) * prop)
+        return psi
+
+    tgt = gmake(
+        P(None), ref_exit(v_true, props_host[0]).astype(np.complex64), (n, n)
+    )
+    rel = jax.jit(
+        lambda p0, vv, pr, t: jnp.linalg.norm(
+            multislice_gridsharded(p0, vv, pr, sigma, gmesh) - t
+        )
+        / jnp.linalg.norm(t)
+    )(psi0_g, v_g, prop_g, tgt)
+    rel = float(rel)
+    assert rel < 1e-5, f"grid-sharded exit wave rel-err {rel}"
+    print(f"proc {pid}: ok total={got} gridshard_rel={rel:.2e}", flush=True)
     jax.distributed.shutdown()
     """
 )
