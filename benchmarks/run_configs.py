@@ -271,7 +271,10 @@ def config4(scale, step_kind):
 
     grid, sliced, kv, lam, sigma, v, prop, psi0 = _sim(scale, 512, 128)
     nprobes = 4096 if scale == "full" else 32
-    chunk = 64 if scale == "full" else 8
+    # chunk 16, not 64: EVERY engine measured faster at batch 16 than 64
+    # at 512² (radix_fast 20.0k vs 8.8k, mxu_fast 18.1k vs 15.9k — bigger
+    # wave batches thrash VMEM/HBM; tpu_steps.jsonl round 3)
+    chunk = 16 if scale == "full" else 8
     stencil = safe_put(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
     qy = safe_put(host_cast(grid.qy()[:, None], jnp.float32))
     qx = safe_put(host_cast(grid.qx()[None, :], jnp.float32))

@@ -143,7 +143,7 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # the rollout batch (probe/tilt count vmapped over one potential) as
     # the ``batch`` hint, defaulting to the unbatched-safe choice
     radix_ok = (
-        batch > 1
+        1 < batch <= 16  # b64 regresses: radix_fast 8.8k, vs 20.0k at b16
         and radix_plan(ny) is not None
         and radix_plan(nx) is not None
     )
