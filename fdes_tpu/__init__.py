@@ -16,6 +16,13 @@ from .forward import (
     stem_raster,
     stem_raster_4d,
 )
+from .calibrate import (
+    chi_device,
+    ctf_device,
+    default_params,
+    fit_instrument,
+    hrtem_series_device,
+)
 from .grids import Grid, fresnel_propagator
 from .imaging import hrtem_image, hrtem_incoherent, hrtem_series
 from .loss import l2_mismatch, make_loss, poisson_nll, tikhonov, total_variation
