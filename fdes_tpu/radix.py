@@ -153,7 +153,11 @@ def _fft_last_axis(x, c, precision, adjoint: bool):
                 jnp.matmul(o, jnp.asarray(gq[q]), precision=precision)
                 for q, o in enumerate(outs)
             ]
-        return jnp.stack(outs, axis=-2).reshape(*lead, n)
+        # concatenate along LANES, not stack+reshape: identical row-major
+        # layout (digit-major (q, k_base) flattening) but the profiler
+        # showed the stack+reshape pair lowering to explicit whole-plane
+        # copies (~47% of the engine's device time, round-3 trace)
+        return jnp.concatenate(outs, axis=-1).reshape(*lead, n)
     f_base = g if adjoint else f
     radices = tuple(t.shape[0] for t in tws)
     dims = (*radices, BASE)
@@ -223,7 +227,9 @@ def _fft_y_axis(x, c, precision, adjoint: bool):
                 )
                 for q, o in enumerate(outs)
             ]
-        return jnp.stack(outs, axis=-3).reshape(*lead, ny, nx)
+        # concat along rows == stack(axis=-3)+reshape, minus the profiled
+        # whole-plane copies (see _fft_last_axis)
+        return jnp.concatenate(outs, axis=-2).reshape(*lead, ny, nx)
     f_base = g if adjoint else f
     radices = tuple(t.shape[0] for t in tws)
     dims = (*radices, BASE)
