@@ -114,19 +114,19 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     lax.scan + remat) are selectable — the inverse path's contract.
 
     Round-3 measured facts encoded here (512²x16 batch, 64 slices, post
-    radix-precision-fix):
+    radix precision fix + concat-reassembly fix):
     * accuracy tier: radix@HIGHEST is BOTH the fastest grad-capable engine
-      at 512² (15.9k slice-props/s vs mxu 9.2k, xla 8.6k) AND the most
+      at 512² (19.0k slice-props/s vs mxu 9.2k, xla 8.6k) AND the most
       accurate (1.68e-6 exit err vs xla 6.2e-6; grad 1.2e-5); at 1024²
       batched it is more accurate (1.34e-6, grad 9.1e-6) but SLOWER than
-      the FFT (1.30k vs 1.61k — HBM-bound), so xla keeps 1024² and radix
-      stays selectable for accuracy-critical runs.  At 256² the dense mxu
-      engines dominate
+      the FFT (1.30k vs 1.61k — HBM-bound, unmoved by the concat fix), so
+      xla keeps 1024² and radix stays selectable for accuracy-critical
+      runs.  At 256² the dense mxu engines dominate
       (mxu 62k / mxu_fast 102k — the matmuls are small enough that O(N³)
       does not hurt and radix's butterfly overhead does);
-    * fast tier: radix_fast wins 512² at 20.0k (mxu_fast 18.1k) at the
+    * fast tier: radix_fast wins 512² at 25.6k (mxu_fast 18.1k) at the
       same ~1.7e-3 accuracy class; mxu_fast keeps 1024² (2.36k vs xla
-      1.61k) pending radix 1024² batched rows;
+      1.61k; radix_fast 1.30k);
     * at 2048² the VPU FFT wins everything, and BATCHING HURTS (xla 676
       unbatched vs 330 at batch 8 — HBM-bound; shard probes across chips
       instead of batching at pod grids);
