@@ -164,35 +164,36 @@ def _cdot(ar, ai, br, bi, precision):
 def _fft_x(zr, zi, r, twr, twi, fr, fi, precision, adjoint: bool):
     """Transform the LAST axis of (ny, N) planes; natural -> digit layout
     (adjoint=False) or layout -> natural (adjoint=True, conj constants
-    applied in here — pass the UNCONJUGATED tables)."""
+    applied in here — pass the UNCONJUGATED tables).
+
+    Digit blocks are LANE SLICES of the (ny, N) planes and results
+    reassemble by lane CONCATENATION — no (ny, r, BASE) stack/reshape
+    interleaves, which lower to whole-plane copies (the round-3 radix
+    trace measured those at ~47% of engine time; same fix here)."""
     ny, n = zr.shape
-    a3r = zr.reshape(ny, r, BASE)
-    a3i = zi.reshape(ny, r, BASE)
+    if r == 1:
+        if adjoint:
+            return _cdot(zr, zi, fr, -fi, precision)
+        return _cdot(zr, zi, fr, fi, precision)
+    blk = lambda z, q: z[:, q * BASE : (q + 1) * BASE]  # noqa: E731
     if adjoint:
-        # base matmul first: merge (ny*r, 128) rows, multiply conj(F)
-        mr, mi = _cdot(
-            a3r.reshape(ny * r, BASE), a3i.reshape(ny * r, BASE), fr, -fi, precision
-        )
-        mr = mr.reshape(ny, r, BASE)
-        mi = mi.reshape(ny, r, BASE)
-        parts = [
-            _cmul(mr[:, q, :], mi[:, q, :], twr[q][None, :], -twi[q][None, :])
-            for q in range(r)
-        ]
+        parts = []
+        for q in range(r):
+            mr, mi = _cdot(blk(zr, q), blk(zi, q), fr, -fi, precision)
+            parts.append(_cmul(mr, mi, twr[q][None, :], -twi[q][None, :]))
         outs = _butterfly(parts, r, +1.0)
-        outr = jnp.stack([p[0] for p in outs], axis=1).reshape(ny, n)
-        outi = jnp.stack([p[1] for p in outs], axis=1).reshape(ny, n)
-        return outr, outi
-    parts = [(a3r[:, p, :], a3i[:, p, :]) for p in range(r)]
-    outs = _butterfly(parts, r, -1.0)
-    outs = [
-        _cmul(pr_, pi_, twr[q][None, :], twi[q][None, :])
-        for q, (pr_, pi_) in enumerate(outs)
-    ]
-    br = jnp.stack([p[0] for p in outs], axis=1).reshape(ny * r, BASE)
-    bi = jnp.stack([p[1] for p in outs], axis=1).reshape(ny * r, BASE)
-    mr, mi = _cdot(br, bi, fr, fi, precision)
-    return mr.reshape(ny, n), mi.reshape(ny, n)
+    else:
+        parts = [(blk(zr, p), blk(zi, p)) for p in range(r)]
+        outs = _butterfly(parts, r, -1.0)
+        outs = [
+            _cmul(pr_, pi_, twr[q][None, :], twi[q][None, :])
+            for q, (pr_, pi_) in enumerate(outs)
+        ]
+        outs = [_cdot(pr_, pi_, fr, fi, precision) for pr_, pi_ in outs]
+    return (
+        jnp.concatenate([p[0] for p in outs], axis=1),
+        jnp.concatenate([p[1] for p in outs], axis=1),
+    )
 
 
 def _fft_y(zr, zi, r, twr, twi, fr, fi, precision, adjoint: bool):
@@ -204,8 +205,7 @@ def _fft_y(zr, zi, r, twr, twi, fr, fi, precision, adjoint: bool):
     serialized (measured round 3: the per-slice kernel spent most of its
     60 µs/wave-slice outside the dots)."""
     n, nx = zr.shape
-    a3r = zr.reshape(r, BASE, nx)
-    a3i = zi.reshape(r, BASE, nx)
+    blk = lambda z, q: z[q * BASE : (q + 1) * BASE, :]  # noqa: E731
 
     def base_wide(parts, conj_f):
         """One wide dot over the lane-concatenated digit blocks."""
@@ -222,23 +222,25 @@ def _fft_y(zr, zi, r, twr, twi, fr, fi, precision, adjoint: bool):
         ]
 
     if adjoint:
-        mm = base_wide([(a3r[q], a3i[q]) for q in range(r)], True)
+        mm = base_wide([(blk(zr, q), blk(zi, q)) for q in range(r)], True)
         parts = [
             _cmul(mr_, mi_, twr[q][:, None], -twi[q][:, None])
             for q, (mr_, mi_) in enumerate(mm)
         ]
         outs = _butterfly(parts, r, +1.0)
     else:
-        parts = [(a3r[p], a3i[p]) for p in range(r)]
+        parts = [(blk(zr, p), blk(zi, p)) for p in range(r)]
         outs = _butterfly(parts, r, -1.0)
         outs = [
             _cmul(pr_, pi_, twr[q][:, None], twi[q][:, None])
             for q, (pr_, pi_) in enumerate(outs)
         ]
         outs = base_wide(outs, False)
-    outr = jnp.stack([p[0] for p in outs], axis=0).reshape(n, nx)
-    outi = jnp.stack([p[1] for p in outs], axis=0).reshape(n, nx)
-    return outr, outi
+    # row-concat == stack(axis=0)+reshape, minus the copies (see _fft_x)
+    return (
+        jnp.concatenate([p[0] for p in outs], axis=0),
+        jnp.concatenate([p[1] for p in outs], axis=0),
+    )
 
 
 def _pipeline(sr, si, plr, pli, consts, precision):
