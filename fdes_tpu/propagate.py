@@ -130,29 +130,39 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     * at 2048² the VPU FFT wins everything, and BATCHING HURTS (xla 676
       unbatched vs 330 at batch 8 — HBM-bound; shard probes across chips
       instead of batching at pod grids);
-    * fscan/fscan_fast (whole-loop VMEM kernels) reach 14.4k/16.5k with
-      fused-kernel accuracy (2.6e-6 / 7.5e-5) but do not beat radix tiers,
-      so they stay explicitly-selectable rather than auto-picked.
+    * FORWARD-ONLY contexts at 512² go to the whole-loop VMEM kernels
+      (fscan tiers, post in-kernel-concat rewrite): fscan_fast 37.9k at
+      7.5e-5 (b1 13.7k, b64 41.4k — wins at EVERY measured batch) and
+      fscan 21.6k at 2.57e-6 batched; grad contexts keep the radix tiers
+      (fused_fast 22.4k @7.5e-5 grad 1.3e-4 is the better-accuracy
+      selectable alternative to radix_fast).
     """
     from .radix import radix_plan
 
     ny, nx = shape
+    # fscan promotion only at its MEASURED shape (512² — at 256² the dense
+    # mxu tiers measured 62k/102k and fscan has no rows there)
+    fscan_ok = (ny, nx) == (512, 512) and not grad
     # the radix tiers win only for BATCHED rollouts (the digit matmuls need
-    # the batch to fill the MXU): at 512² unbatched radix is 3.8k vs mxu's
-    # 6.1k, while at batch 16 radix is 15.9k vs mxu's 9.2k — callers pass
+    # the batch to fill the MXU): at 512² unbatched radix is 3.4k vs mxu's
+    # 6.1k, while at batch 16 radix is 19.0k vs mxu's 9.2k — callers pass
     # the rollout batch (probe/tilt count vmapped over one potential) as
     # the ``batch`` hint, defaulting to the unbatched-safe choice
     radix_ok = (
-        1 < batch <= 16  # b64 regresses: radix_fast 8.8k, vs 20.0k at b16
+        1 < batch <= 16  # b64 regresses: radix_fast 8.8k, vs 25.6k at b16
         and radix_plan(ny) is not None
         and radix_plan(nx) is not None
     )
     if kind == "auto":
+        if fscan_ok and batch > 1:
+            return "fscan"  # 21.6k at 2.57e-6: fastest accuracy tier
         if max(shape) <= 256:
             return "mxu"
         if radix_ok and max(shape) <= 512:
             return "radix"
         return "mxu" if max(shape) <= 512 else "xla"
+    if fscan_ok:
+        return "fscan_fast"  # 13.7k/37.9k/41.4k at b1/b16/b64, 7.5e-5
     if max(shape) <= 256:
         return "mxu_fast"
     if radix_ok and max(shape) <= 512:
