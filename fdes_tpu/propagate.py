@@ -222,6 +222,14 @@ def make_slice_step(
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
         kind = _resolve_auto(kind, shape, grad, batch)
+        if kind.startswith("fscan") and jax.default_backend() not in (
+            "tpu",
+            "axon",
+        ):
+            # the whole-loop Pallas kernels run in INTERPRET mode off-TPU
+            # (pathologically slow at 512²) — auto falls back to the dense
+            # engines there; explicit fscan selection still works
+            kind = "mxu_fast" if kind == "fscan_fast" else "mxu"
     if kind == "xla":
         return None  # multislice default
     if kind == "pallas":
