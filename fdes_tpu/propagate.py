@@ -140,9 +140,10 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     from .radix import radix_plan
 
     ny, nx = shape
-    # fscan promotion only at its MEASURED shape (512² — at 256² the dense
-    # mxu tiers measured 62k/102k and fscan has no rows there)
-    fscan_ok = (ny, nx) == (512, 512) and not grad
+    # fscan promotion only at its MEASURED shapes: 512² (37.9k/21.6k) and
+    # 256² (fscan_fast 114.7k vs mxu_fast 101.8k; fscan 74.5k vs mxu
+    # 62.1k, accuracy 7.4e-5 / 2.6e-6 certified on chip)
+    fscan_ok = ny == nx and ny in (256, 512) and not grad
     # the radix tiers win only for BATCHED rollouts (the digit matmuls need
     # the batch to fill the MXU): at 512² unbatched radix is 3.4k vs mxu's
     # 6.1k, while at batch 16 radix is 19.0k vs mxu's 9.2k — callers pass

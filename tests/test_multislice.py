@@ -224,12 +224,15 @@ def test_make_slice_step_auto_tiers():
     assert _resolve_auto("auto_fast", (512, 512), True, 16) == "radix_fast"
     assert _resolve_auto("auto_fast", (1024, 1024), True, 16) == "mxu_fast"
     assert _resolve_auto("auto_fast", (2048, 2048), True, 16) == "xla"
-    # forward-only contexts at the measured 512^2 shape take the
+    # forward-only contexts at the measured 256^2/512^2 shapes take the
     # whole-loop VMEM kernels (fscan_fast wins at EVERY measured batch)
     assert _resolve_auto("auto", (512, 512), False, 16) == "fscan"
+    assert _resolve_auto("auto", (256, 256), False, 16) == "fscan"
     assert _resolve_auto("auto", (512, 512), False, 1) == "mxu"
     assert _resolve_auto("auto_fast", (512, 512), False, 1) == "fscan_fast"
     assert _resolve_auto("auto_fast", (512, 512), False, 64) == "fscan_fast"
+    assert _resolve_auto("auto_fast", (256, 256), False, 16) == "fscan_fast"
+    assert _resolve_auto("auto", (128, 128), False, 16) == "mxu"
     # UNBATCHED grad rollouts keep the dense mxu tiers at 512^2 (radix
     # only wins batched: 19.0k@b16 vs 3.4k@b1 against mxu's 9.2k/6.1k)
     assert _resolve_auto("auto", (512, 512), True, 1) == "mxu"
