@@ -155,8 +155,10 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         and radix_plan(nx) is not None
     )
     if kind == "auto":
-        if fscan_ok and batch > 1:
-            return "fscan"  # 21.6k at 2.57e-6: fastest accuracy tier
+        if fscan_ok:
+            # fastest accuracy tier at EVERY measured batch (512²: 11.1k
+            # at b1 vs mxu 6.2k; 21.6k at b16; 256²: 74.5k at b16)
+            return "fscan"
         if max(shape) <= 256:
             return "mxu"
         if radix_ok and max(shape) <= 512:

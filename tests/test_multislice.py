@@ -228,7 +228,7 @@ def test_make_slice_step_auto_tiers():
     # whole-loop VMEM kernels (fscan_fast wins at EVERY measured batch)
     assert _resolve_auto("auto", (512, 512), False, 16) == "fscan"
     assert _resolve_auto("auto", (256, 256), False, 16) == "fscan"
-    assert _resolve_auto("auto", (512, 512), False, 1) == "mxu"
+    assert _resolve_auto("auto", (512, 512), False, 1) == "fscan"
     assert _resolve_auto("auto_fast", (512, 512), False, 1) == "fscan_fast"
     assert _resolve_auto("auto_fast", (512, 512), False, 64) == "fscan_fast"
     assert _resolve_auto("auto_fast", (256, 256), False, 16) == "fscan_fast"
