@@ -142,7 +142,10 @@ def fit_instrument(
     if unknown:
         raise KeyError(f"unknown free parameters {sorted(unknown)}")
     frozen = {k: v for k, v in init.items() if k not in free}
-    theta0 = {k: jnp.asarray(init[k], jnp.float32) for k in free}
+    # jnp.array (copy), not asarray: the jitted step donates theta, and an
+    # aliased caller array in ``init`` would be invalidated by the first
+    # iteration (ADVICE.md round 3)
+    theta0 = {k: jnp.array(init[k], jnp.float32) for k in free}
     # Default adam, NOT lbfgs: the through-focus loss is oscillatory in
     # defocus (CTF fringes), and lbfgs's zoom linesearch hops between
     # fringe basins (measured: diverges where adam(2.0) converges).

@@ -180,6 +180,18 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if cfg.sim.engine not in ("auto", "xla"):
+            # multislice_streamed builds V inside the scan and runs the
+            # default xla slice step; silently ignoring a configured engine
+            # would contradict the loud incompatibility checks above
+            # (ADVICE.md round 3)
+            print(
+                f"sim.streamed runs the default 'xla' slice step; "
+                f"sim.engine={cfg.sim.engine!r} is not honored in streamed "
+                "mode — set sim.engine to 'auto'/'xla' or drop sim.streamed",
+                file=sys.stderr,
+            )
+            return 2
         np_rdt = np.dtype(jax.numpy.dtype(sim.rdtype).name)
         x, y, sp, w, _ = pad_atoms_per_slice(sim.sliced, np_rdt)
         ff_r = jnp.asarray(

@@ -175,11 +175,23 @@ def make_fused_scan(ny: int, nx: int, dtype=jnp.complex64, precision=None):
     _axis_consts(ny)  # validate size
 
     def whole_scan(psi0, v_stack, propagator, sigma):
+        psi0 = psi0.astype(dtype)
+        propagator = propagator.astype(dtype)
         if jnp.iscomplexobj(v_stack):
-            raise ValueError(
-                "fscan engines take a real potential (absorptive complex V "
-                "needs the per-slice engines)"
-            )
+            # Absorptive complex V: the whole-loop kernel streams a REAL
+            # potential; fall back to the per-slice Pallas path (same
+            # fallback make_fused_slice_step takes) so engine='auto' stays
+            # safe when sim.absorptive_factor > 0 (ADVICE.md round 3).
+            from .slice_step import pallas_slice_step
+
+            def body(psi, v):
+                return pallas_slice_step(psi, v, propagator, sigma), None
+
+            if psi0.ndim == 3:
+                return jax.vmap(lambda p: jax.lax.scan(body, p, v_stack)[0])(
+                    psi0
+                )
+            return jax.lax.scan(body, psi0, v_stack)[0]
         sigma = float(sigma)  # static: traced sigma is not supported here
         if psi0.ndim == 3:
             return _run_batched(

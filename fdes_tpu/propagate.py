@@ -289,6 +289,17 @@ def make_slice_step(
     if kind in ("fscan", "fscan_fast", "fscan_draft"):
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        if kind == "fscan_draft":
+            import warnings
+
+            warnings.warn(
+                "engine 'fscan_draft' is the PREVIEW tier: single-pass bf16 "
+                "dots, ~1e-1 exit-wave rel-err at 512^2 x 64 slices "
+                "(tpu_accuracy.jsonl) — wrong in the second decimal.  Use it "
+                "only for interactive previews; 'fscan_fast' (7.5e-5) is the "
+                "production throughput tier.",
+                stacklevel=2,
+            )
         from .pallas.fused_scan import make_fused_scan
 
         precision = {

@@ -432,6 +432,40 @@ def test_fscan_whole_loop_matches(fields):
     np.testing.assert_allclose(np.asarray(got_v), want_b, atol=2e-5)
 
 
+def test_fscan_complex_v_falls_back(fields):
+    """engine='auto' may promote fscan without knowing the V dtype; an
+    absorptive (complex) potential must fall back to the per-slice Pallas
+    path instead of erroring at runtime (ADVICE.md round 3 medium)."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, 0.5 * v]) + 1j * 0.02 * jnp.abs(
+        jnp.stack([v, 0.5 * v])
+    )
+    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype)
+    got = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    want = multislice(psi, v_stack, prop, sigma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # batched psi takes the same fallback
+    psi_b = jnp.stack([psi, 1j * psi])
+    got_b = multislice(psi_b, v_stack, prop, sigma, slice_step=step)
+    want_b = np.stack(
+        [np.asarray(multislice(p, v_stack, prop, sigma)) for p in psi_b]
+    )
+    np.testing.assert_allclose(np.asarray(got_b), want_b, atol=2e-5)
+
+
+def test_fscan_draft_selection_warns(fields):
+    """The preview tier (~1e-1 exit err) must warn on selection, symmetric
+    with the mxu4 negative-result warning (VERDICT.md round 3 weak 4)."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, _, _ = fields
+    with pytest.warns(UserWarning, match="PREVIEW"):
+        make_slice_step("fscan_draft", shape=psi.shape, dtype=psi.dtype)
+
+
 def test_fscan_rejects_remat_and_per_slice_call(fields):
     from fdes_tpu.propagate import make_slice_step
 
