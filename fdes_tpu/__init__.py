@@ -22,6 +22,7 @@ from .calibrate import (
     default_params,
     fit_instrument,
     hrtem_series_device,
+    joint_refine,
 )
 from .grids import Grid, fresnel_propagator
 from .imaging import hrtem_image, hrtem_incoherent, hrtem_series

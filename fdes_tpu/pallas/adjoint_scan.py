@@ -1,0 +1,360 @@
+"""Differentiable whole-loop multislice: the adjoint of pallas/fused_scan
+as a second whole-loop Pallas kernel (VERDICT.md round-3 next-round item 1).
+
+Round 3 left the inverse problem on the slowest engine class: the fscan
+kernels win every forward tier but are forward-only by construction, so
+`value_and_grad` (the contract's headline *reconstruction* metric,
+BASELINE.json config 3) still rode the per-slice engines.  The adjoint of
+the multislice loop is itself a conjugate multislice recursion
+(SURVEY.md §3.2):
+
+    bar_s_j   = F^H ( conj-pass ) applied to bar_psi_{j+1}   (linear part)
+    bar_V_j   = -sigma * Im(bar_s_j * t_j * psi_j)           (needs psi_j)
+    bar_psi_j = t_j * bar_s_j                                (bilinear vjp)
+
+— exactly the computation the whole-loop kernel already does, run on
+conjugated planes.  The only obstacle is psi_j: the forward kernel keeps
+psi VMEM-resident and never stores per-slice waves.  Segment-checkpointed
+recompute solves it the way jax.checkpoint would, but in-kernel:
+
+  * FORWARD (only under differentiation, via jax.custom_vjp — the primal
+    path pays nothing): the fused scan additionally writes psi to HBM
+    every K slices (S/K extra plane-pair writes; K ~ sqrt-S-class).
+  * BACKWARD: one kernel, grid (nseg, B) with batch INNERMOST.  Per grid
+    step it re-runs its K-slice segment forward in VMEM from the
+    checkpoint (storing the K intermediate waves in scratch), then runs
+    the conjugate recursion in reverse.  bar_psi carries across segments
+    in persistent VMEM scratch (scratch outlives grid steps); dL/dV
+    accumulates into a per-segment output block whose revisits along the
+    inner batch axis are contiguous — the standard Pallas accumulation
+    pattern.  Per whole backward, V and dV cross HBM once each (not once
+    per wave): the segment's V block is resident across the batch sweep.
+
+Cost per backward grid step: K recompute pipelines + K adjoint pipelines,
+so a value_and_grad step is ~3x the forward's MXU work — against the
+per-slice grad engines' per-slice HBM round-trips plus XLA-level remat
+recompute.
+
+Complex cotangent convention: JAX's vjp pairing is BILINEAR (the transpose
+of the jvp with no conjugation — see pallas/slice_step.py's module doc,
+pinned there against jnp autodiff), so the propagator multiply passes the
+cotangent through diag(P_l) UNTOUCHED and the per-slice recursion above
+matches pallas/fused_step.py's _bwd_kernel exactly.
+
+The propagator is treated as non-differentiable (None cotangent), the same
+contract as the per-slice fused engines.  sigma is a static host float.
+Square grids with N in {128, 256, 512} (fused_step.py VMEM budget).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_step import (
+    _params,
+    _pipeline,
+    _prepared_prop,
+    _resolve_interpret,
+    _tables,
+)
+
+#: max checkpoint segment length per grid size: 2K psi planes live in
+#: scratch during the backward recompute (plus the K-plane V and dV
+#: blocks), bounded by the ~96 MiB scoped-VMEM budget at 512^2.
+_SEG_CAP = {128: 16, 256: 16, 512: 8}
+#: max native wave batch per grid size: the backward carries bar_psi for
+#: every batch element in persistent scratch (2B planes).
+_BATCH_CAP = {128: 64, 256: 32, 512: 4}
+
+
+def pick_seg(nslices: int, n: int) -> int:
+    """Largest divisor of nslices within the grid's VMEM segment cap."""
+    cap = _SEG_CAP[n]
+    best = 1
+    for d in range(1, min(cap, nslices) + 1):
+        if nslices % d == 0:
+            best = d
+    return best
+
+
+def _ck_kernel(
+    v_ref, pr_ref, pi_ref, plr_ref, pli_ref, twr_ref, twi_ref, fr_ref, fi_ref,
+    or_ref, oi_ref, ckr_ref, cki_ref, *, sigma, radix, precision, seg,
+):
+    """fused_scan._scan_kernel + a checkpoint write of the INCOMING wave
+    at every segment start (the value the backward recomputes from)."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        or_ref[0] = pr_ref[0]
+        oi_ref[0] = pi_ref[0]
+
+    @pl.when(s % seg == 0)
+    def _snap():
+        ckr_ref[0, 0] = or_ref[0]
+        cki_ref[0, 0] = oi_ref[0]
+
+    zr = or_ref[0]
+    zi = oi_ref[0]
+    phase = sigma * v_ref[0]
+    c = jnp.cos(phase)
+    sn = jnp.sin(phase)
+    sr = zr * c - zi * sn
+    si = zr * sn + zi * c
+    consts = (radix, twr_ref[:], twi_ref[:], fr_ref[:], fi_ref[:])
+    sr, si = _pipeline(sr, si, plr_ref[:], pli_ref[:], consts, precision)
+    or_ref[0] = sr
+    oi_ref[0] = si
+
+
+def _bwd_scan_kernel(
+    v_ref, ckr_ref, cki_ref, gr_ref, gi_ref, plr_ref, pli_ref,
+    twr_ref, twi_ref, fr_ref, fi_ref,
+    dvr_ref, dpr_ref, dpi_ref,
+    cr_ref, ci_ref, skr_ref, ski_ref,
+    *, sigma, radix, precision, seg, nseg,
+):
+    """One K-slice segment of the conjugate recursion, batch innermost.
+
+    Segments run last-to-first (index maps reverse the grid axis); within
+    a segment: forward recompute from the checkpoint into (skr, ski)
+    scratch, then the reverse sweep updating the per-batch bar_psi carry
+    (cr, ci) and accumulating dV."""
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    consts = (radix, twr_ref[:], twi_ref[:], fr_ref[:], fi_ref[:])
+    plr = plr_ref[:]
+    pli = pli_ref[:]
+
+    @pl.when(i == 0)
+    def _init_carry():
+        cr_ref[b] = gr_ref[0]
+        ci_ref[b] = gi_ref[0]
+
+    @pl.when(b == 0)
+    def _zero_dv():
+        dvr_ref[:] = jnp.zeros(dvr_ref.shape, dvr_ref.dtype)
+
+    # forward recompute: skr[k] holds psi_k (the wave ENTERING slice k of
+    # this segment), k = 0..seg-1
+    skr_ref[0] = ckr_ref[0, 0]
+    ski_ref[0] = cki_ref[0, 0]
+
+    def fwd_body(k, _):
+        zr = skr_ref[k - 1]
+        zi = ski_ref[k - 1]
+        phase = sigma * v_ref[k - 1]
+        c = jnp.cos(phase)
+        sn = jnp.sin(phase)
+        sr = zr * c - zi * sn
+        si = zr * sn + zi * c
+        sr, si = _pipeline(sr, si, plr, pli, consts, precision)
+        skr_ref[k] = sr
+        ski_ref[k] = si
+        return 0
+
+    jax.lax.fori_loop(1, seg, fwd_body, 0)
+
+    def bwd_body(t, _):
+        k = seg - 1 - t
+        br = cr_ref[b]
+        bi = ci_ref[b]
+        # bar_s = conj( pipeline(conj(bar)) with conj P_l ) — the bilinear
+        # pairing passes the cotangent through diag(P_l) untouched
+        # (fused_step._bwd_kernel's identity, reused verbatim)
+        ur, ui = _pipeline(br, -bi, plr, -pli, consts, precision)
+        bsr = ur
+        bsi = -ui
+        phase = sigma * v_ref[k]
+        c = jnp.cos(phase)
+        sn = jnp.sin(phase)
+        pr_ = skr_ref[k]
+        pi_ = ski_ref[k]
+        tpr = pr_ * c - pi_ * sn
+        tpi = pr_ * sn + pi_ * c
+        # bar_V = -sigma * Im(bar_s * t * psi)
+        dvr_ref[k] += -sigma * (bsr * tpi + bsi * tpr)
+        # bar_psi = t * bar_s
+        cr_ref[b] = bsr * c - bsi * sn
+        ci_ref[b] = bsr * sn + bsi * c
+        return 0
+
+    jax.lax.fori_loop(0, seg, bwd_body, 0)
+
+    @pl.when(i == nseg - 1)
+    def _final():
+        # after segment 0 the carry IS bar_psi0; earlier flushes of this
+        # block hold stale data but the last flush (this one) wins
+        dpr_ref[0] = cr_ref[b]
+        dpi_ref[0] = ci_ref[b]
+
+
+def _run_forward_ck(psi_b, v_stack, propagator, sigma, precision, seg):
+    """(B, n, n) forward with per-segment checkpoints; returns
+    (psi_out c64, ck_re, ck_im) with ck of shape (B, S/seg, n, n)."""
+    b, n, _ = psi_b.shape
+    s = v_stack.shape[0]
+    nseg = s // seg
+    interp = _resolve_interpret(None)
+    precision = precision or jax.lax.Precision.HIGHEST
+    r, twr, twi, fr, fi = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(psi_b.dtype), n)
+    rdt = jnp.real(psi_b).dtype
+
+    const2 = lambda shape: pl.BlockSpec(shape, lambda bi, si: (0,) * len(shape))  # noqa: E731
+    per_batch = pl.BlockSpec((1, n, n), lambda bi, si: (bi, 0, 0))
+    ck_spec = pl.BlockSpec((1, 1, n, n), lambda bi, si: (bi, si // seg, 0, 0))
+    base = 128
+    outr, outi, ckr, cki = pl.pallas_call(
+        functools.partial(
+            _ck_kernel, sigma=rdt.type(sigma), radix=r, precision=precision,
+            seg=seg,
+        ),
+        grid=(b, s),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda bi, si: (si, 0, 0)),  # V_j stream
+            per_batch,  # psi re
+            per_batch,  # psi im
+            const2((n, n)),
+            const2((n, n)),
+            const2(twr.shape),
+            const2(twi.shape),
+            const2((base, base)),
+            const2((base, base)),
+        ],
+        out_specs=[per_batch, per_batch, ck_spec, ck_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), rdt)] * 2
+        + [jax.ShapeDtypeStruct((b, nseg, n, n), rdt)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_params(n).vmem_limit_bytes,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(
+        v_stack.astype(rdt), jnp.real(psi_b), jnp.imag(psi_b),
+        jnp.real(pl_c), jnp.imag(pl_c), twr, twi, fr, fi,
+    )
+    return jax.lax.complex(outr, outi), ckr, cki
+
+
+def _run_backward(ckr, cki, v_stack, propagator, g, sigma, precision, seg):
+    """Whole-loop adjoint from the checkpoints; returns (dV, bar_psi0)."""
+    b, nseg, n, _ = ckr.shape
+    s = v_stack.shape[0]
+    interp = _resolve_interpret(None)
+    precision = precision or jax.lax.Precision.HIGHEST
+    r, twr, twi, fr, fi = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(g.dtype), n)
+    rdt = jnp.real(g).dtype
+
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i, bi: (0,) * len(shape))  # noqa: E731
+    rev_seg = pl.BlockSpec((seg, n, n), lambda i, bi: (nseg - 1 - i, 0, 0))
+    per_batch = pl.BlockSpec((1, n, n), lambda i, bi: (bi, 0, 0))
+    base = 128
+    dv, dpr, dpi = pl.pallas_call(
+        functools.partial(
+            _bwd_scan_kernel, sigma=rdt.type(sigma), radix=r,
+            precision=precision, seg=seg, nseg=nseg,
+        ),
+        grid=(nseg, b),
+        in_specs=[
+            rev_seg,  # V segment (resident across the inner batch sweep)
+            pl.BlockSpec((1, 1, n, n), lambda i, bi: (bi, nseg - 1 - i, 0, 0)),
+            pl.BlockSpec((1, 1, n, n), lambda i, bi: (bi, nseg - 1 - i, 0, 0)),
+            per_batch,  # cotangent re (consumed at i == 0)
+            per_batch,  # cotangent im
+            const2((n, n)),
+            const2((n, n)),
+            const2(twr.shape),
+            const2(twi.shape),
+            const2((base, base)),
+            const2((base, base)),
+        ],
+        out_specs=[rev_seg, per_batch, per_batch],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, n, n), rdt),
+            jax.ShapeDtypeStruct((b, n, n), rdt),
+            jax.ShapeDtypeStruct((b, n, n), rdt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, n, n), rdt),  # bar_psi carry re
+            pltpu.VMEM((b, n, n), rdt),  # bar_psi carry im
+            pltpu.VMEM((seg, n, n), rdt),  # recomputed psi re
+            pltpu.VMEM((seg, n, n), rdt),  # recomputed psi im
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_params(n).vmem_limit_bytes,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(
+        v_stack.astype(rdt), ckr, cki, jnp.real(g), jnp.imag(g),
+        jnp.real(pl_c), jnp.imag(pl_c), twr, twi, fr, fi,
+    )
+    return dv, jax.lax.complex(dpr, dpi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _scan_diff(psi_b, v_stack, propagator, sigma, precision, seg):
+    """(B, n, n) whole-loop multislice, differentiable wrt psi and V.
+
+    The PRIMAL is fused_scan's plain kernel (no checkpoint writes); only
+    tracing under differentiation routes through _fwd_ck below."""
+    from .fused_scan import _run_batched
+
+    return _run_batched(psi_b, v_stack, propagator, sigma, precision, None)
+
+
+def _fwd_ck(psi_b, v_stack, propagator, sigma, precision, seg):
+    out, ckr, cki = _run_forward_ck(
+        psi_b, v_stack, propagator, sigma, precision, seg
+    )
+    return out, (ckr, cki, v_stack, propagator)
+
+
+def _bwd_ck(sigma, precision, seg, res, g):
+    ckr, cki, v_stack, propagator = res
+    dv, dpsi = _run_backward(
+        ckr, cki, v_stack, propagator, g, sigma, precision, seg
+    )
+    return dpsi, dv.astype(v_stack.dtype), None
+
+
+_scan_diff.defvjp(_fwd_ck, _bwd_ck)
+
+
+def scan_diff_apply(psi0, v_stack, propagator, sigma, precision, seg=None):
+    """Grad-capable whole-loop entry: (n, n) or native (B, n, n) psi.
+
+    vmap over the wave is NOT supported here (the forward-only path keeps
+    its custom_vmap rule); batched GRAD contexts should pass a native
+    (B, n, n) psi or keep the per-slice engines (_resolve_auto only
+    promotes this engine for unbatched grad contexts until the batched
+    composition is measured)."""
+    n = psi0.shape[-1]
+    if v_stack.ndim != 3 or propagator.ndim != 2:
+        raise ValueError(
+            "the grad-capable whole-loop engine takes a shared (S, n, n) V "
+            "and (n, n) propagator natively; batched-V/propagator GRAD "
+            "contexts (tilt series) go through vmap (pallas auto-batching)"
+        )
+    s = v_stack.shape[0]
+    seg = seg or pick_seg(s, n)
+    if s % seg != 0:
+        raise ValueError(f"seg {seg} must divide nslices {s}")
+    if psi0.ndim == 2:
+        return _scan_diff(psi0[None], v_stack, propagator, sigma, precision, seg)[0]
+    cap = _BATCH_CAP[n]
+    if psi0.shape[0] > cap:
+        raise ValueError(
+            f"fscan grad batch {psi0.shape[0]} exceeds the {cap}-wave VMEM "
+            f"carry budget at {n}^2; chunk the batch or use a per-slice "
+            "engine (propagate.make_slice_step with batch hint)"
+        )
+    return _scan_diff(psi0, v_stack, propagator, sigma, precision, seg)

@@ -306,8 +306,11 @@ def make_slice_step(
             "fscan_fast": "bf16x3",  # ~7.5e-5 exit err class
             "fscan_draft": "bf16x1",  # single-pass bf16: ~mxu_fast class
         }.get(kind, jax.lax.Precision.HIGHEST)
+        # grad=True routes through the whole-loop custom VJP
+        # (pallas/adjoint_scan.py): segment-checkpointed in-kernel adjoint
         return make_fused_scan(
-            *shape, dtype=dtype or jnp.complex64, precision=precision
+            *shape, dtype=dtype or jnp.complex64, precision=precision,
+            grad=grad,
         )
     if kind in ("fused", "fused_fast"):
         if shape is None:
@@ -346,6 +349,16 @@ def multislice_thickness_series(
     s = v_stack.shape[0]
     if s % every != 0:
         raise ValueError(f"every {every} must divide nslices {s}")
+    chunks = v_stack.reshape(s // every, every, *v_stack.shape[1:])
+
+    if hasattr(step, "whole_scan"):
+        # whole-loop engine: one fused kernel per ``every``-slice chunk
+        # (the loop between outputs still lives inside the kernel)
+        def wbody(psi, v_chunk):
+            psi = step.whole_scan(psi, v_chunk, propagator, sigma)
+            return psi, psi
+
+        return jax.lax.scan(wbody, psi0, chunks)[1]
 
     def body(psi, v_chunk):
         psi = jax.lax.scan(
@@ -353,8 +366,34 @@ def multislice_thickness_series(
         )[0]
         return psi, psi
 
-    chunks = v_stack.reshape(s // every, every, *v_stack.shape[1:])
     return jax.lax.scan(body, psi0, chunks)[1]
+
+
+def pick_probe_chunk(
+    shape: tuple[int, int], npos: int, method: str = "multislice"
+) -> int:
+    """Measured-optimum probe batch for STEM rollouts (VERDICT.md round-3
+    weak item 2: the optimum lived only in benchmark scripts).
+
+    v5e measurements (tpu_steps.jsonl, 2026-08-20/21): every engine runs
+    FASTER at batch 16 than 64 at <=512^2 (radix_fast 20.0k vs 8.8k
+    slice-props/s, mxu_fast 18.1k vs 15.9k — bigger wave batches thrash
+    VMEM/HBM), and batching actively HURTS at >=1024^2 (xla 676 unbatched
+    vs 330 at batch 8: HBM-bound, so shard probes across chips instead).
+    PRISM rasters are different: per-probe work is a cheap S-matrix
+    contraction with no multislice, so large chunks amortize dispatch
+    (config-6 measured at 256).
+
+    Returns a DIVISOR of npos (stem_raster requires divisibility) no
+    larger than the measured target.
+    """
+    target = 256 if method == "prism" else (16 if max(shape) <= 512 else 1)
+    if npos <= target:
+        return npos
+    for d in range(target, 0, -1):
+        if npos % d == 0:
+            return d
+    return 1
 
 
 def pick_remat_chunk(nslices: int) -> int:
@@ -389,11 +428,14 @@ def multislice(
     step = slice_step or default_slice_step
     if hasattr(step, "whole_scan"):
         # whole-loop engine (pallas/fused_scan.py): the slice loop lives
-        # inside one kernel; remat is meaningless there (forward-only)
-        if remat_chunk:
+        # inside one kernel.  Grad-capable variants (adjoint_scan.py)
+        # checkpoint in-kernel, so remat_chunk is subsumed and ignored;
+        # forward-only variants reject it loudly.
+        if remat_chunk and not getattr(step, "grad_capable", False):
             raise ValueError(
                 f"engine {getattr(step, 'kind', 'fscan')!r} is forward-only; "
-                "remat_chunk (adjoint memory) needs a per-slice engine"
+                "remat_chunk (adjoint memory) needs a per-slice engine or a "
+                "grad-capable whole-loop engine (make_slice_step grad=True)"
             )
         return step.whole_scan(psi0, v_stack, propagator, sigma)
 

@@ -264,3 +264,20 @@ def test_stem_com_raster_chunked_matches_unchunked(small_sim):
     assert full.shape == (4, 2)
     np.testing.assert_allclose(full, chunked, rtol=1e-6, atol=1e-9)
     assert np.isfinite(full).all()
+
+
+def test_pick_probe_chunk_measured_defaults():
+    """Shape-aware probe chunking (VERDICT.md round-3 weak 2): 16-wave
+    chunks at <=512^2, unbatched at >=1024^2, 256 for PRISM; always a
+    divisor of npos."""
+    from fdes_tpu.propagate import pick_probe_chunk
+
+    assert pick_probe_chunk((512, 512), 4096) == 16
+    assert pick_probe_chunk((256, 256), 4096) == 16
+    assert pick_probe_chunk((1024, 1024), 4096) == 1
+    assert pick_probe_chunk((2048, 2048), 4096) == 1
+    assert pick_probe_chunk((512, 512), 4096, method="prism") == 256
+    # divisor rule: npos not divisible by the target degrades gracefully
+    assert pick_probe_chunk((512, 512), 24) == 12
+    assert pick_probe_chunk((512, 512), 10) == 10
+    assert pick_probe_chunk((512, 512), 7) == 7

@@ -432,6 +432,43 @@ def test_fscan_whole_loop_matches(fields):
     np.testing.assert_allclose(np.asarray(got_v), want_b, atol=2e-5)
 
 
+def test_fscan_batched_propagator_and_v(fields):
+    """Tilt series (per-wave propagator) and phonon stacks (per-wave V)
+    dispatch as ONE batched kernel launch through the custom_vmap rule
+    (VERDICT.md round-3 weak 3), matching per-item xla rollouts."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.3 * v, 0.7 * v])
+    # three "tilts": phase-ramped propagators
+    props = jnp.stack([prop, prop * jnp.exp(0.01j), prop * jnp.exp(-0.02j)])
+    psi_b = jnp.stack([psi, 1j * psi, psi.conj()])
+    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype, grad=False)
+
+    # tilt pattern: vmap over (psi, propagator), shared V
+    got = jax.vmap(
+        lambda p0, pr: multislice(p0, v_stack, pr, sigma, slice_step=step)
+    )(psi_b, props)
+    want = np.stack(
+        [
+            np.asarray(multislice(p0, v_stack, pr, sigma))
+            for p0, pr in zip(psi_b, props)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # phonon pattern: vmap over V with the wave and propagator shared
+    v_cfgs = jnp.stack([v_stack, 0.9 * v_stack, 1.1 * v_stack])
+    got_p = jax.vmap(
+        lambda vs: multislice(psi, vs, prop, sigma, slice_step=step)
+    )(v_cfgs)
+    want_p = np.stack(
+        [np.asarray(multislice(psi, vs, prop, sigma)) for vs in v_cfgs]
+    )
+    np.testing.assert_allclose(np.asarray(got_p), want_p, atol=2e-5)
+
+
 def test_fscan_complex_v_falls_back(fields):
     """engine='auto' may promote fscan without knowing the V dtype; an
     absorptive (complex) potential must fall back to the per-slice Pallas
@@ -472,8 +509,141 @@ def test_fscan_rejects_remat_and_per_slice_call(fields):
     psi, v, prop = fields
     sigma = interaction_sigma(KV)
     v_stack = jnp.stack([v, v])
-    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype)
+    # grad=False requests the forward-only variant, which still rejects
+    # remat loudly; the grad-capable default subsumes remat instead
+    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype, grad=False)
+    assert not step.grad_capable
     with pytest.raises(ValueError, match="forward-only"):
         multislice(psi, v_stack, prop, sigma, slice_step=step, remat_chunk=1)
     with pytest.raises(TypeError, match="whole slice loop"):
         step(psi, v, prop, sigma)
+
+
+def _fscan_grad_case(fields, kind, nslices, seg, atol, batched=False):
+    """value_and_grad through the whole-loop adjoint kernel vs xla autodiff."""
+    from fdes_tpu.pallas.adjoint_scan import scan_diff_apply
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    rng = np.random.default_rng(11)
+    v_stack = jnp.asarray(
+        (rng.normal(size=(nslices, *v.shape)) * 25.0).astype(np.float32)
+    )
+    if batched:
+        psi = jnp.stack([psi, 1j * psi, psi.conj()])
+
+    def loss_fscan(vv, p0):
+        out = scan_diff_apply(p0, vv, prop, sigma, None, seg=seg)
+        return jnp.sum(jnp.abs(out) ** 2 * jnp.real(out))
+
+    def loss_xla(vv, p0):
+        roll = lambda p: multislice(p, vv, prop, sigma)  # noqa: E731
+        out = jax.vmap(roll)(p0) if batched else roll(p0)
+        return jnp.sum(jnp.abs(out) ** 2 * jnp.real(out))
+
+    (lf, (gv_f, gp_f)) = jax.value_and_grad(loss_fscan, argnums=(0, 1))(
+        v_stack, psi
+    )
+    (lx, (gv_x, gp_x)) = jax.value_and_grad(loss_xla, argnums=(0, 1))(
+        v_stack, psi
+    )
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(gv_x)))
+    np.testing.assert_allclose(
+        np.asarray(gv_f), np.asarray(gv_x), atol=atol * scale
+    )
+    pscale = float(jnp.max(jnp.abs(gp_x)))
+    np.testing.assert_allclose(
+        np.asarray(gp_f), np.asarray(gp_x), atol=atol * pscale
+    )
+
+
+def test_fscan_adjoint_grad_matches_xla(fields):
+    """Whole-loop adjoint (pallas/adjoint_scan.py), multi-segment: dV and
+    bar_psi0 against XLA autodiff through the scan."""
+    _fscan_grad_case(fields, "fscan", nslices=8, seg=4, atol=2e-5)
+
+
+def test_fscan_adjoint_grad_single_segment(fields):
+    """nseg == 1 edge: the whole loop is one checkpoint segment."""
+    _fscan_grad_case(fields, "fscan", nslices=6, seg=6, atol=2e-5)
+
+
+def test_fscan_adjoint_grad_batched(fields):
+    """Native (B, n, n) grad: dV accumulates across the batch inside the
+    kernel (inner-axis block accumulation)."""
+    _fscan_grad_case(fields, "fscan", nslices=8, seg=4, atol=2e-5, batched=True)
+
+
+def test_fscan_adjoint_grad_of_vmap(fields):
+    """grad THROUGH vmap over the wave (the ptycho/stem4d inverse shape):
+    pallas auto-batching of the custom-VJP kernels, dV summed over lanes
+    by the vmap transpose."""
+    from fdes_tpu.pallas.adjoint_scan import scan_diff_apply
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    rng = np.random.default_rng(5)
+    v_stack = jnp.asarray(
+        (rng.normal(size=(4, *v.shape)) * 25.0).astype(np.float32)
+    )
+    psi_b = jnp.stack([psi, 1j * psi, psi.conj()])
+
+    def loss_f(vv):
+        o = jax.vmap(lambda p: scan_diff_apply(p, vv, prop, sigma, None, seg=2))(psi_b)
+        return jnp.sum(jnp.abs(o) ** 2)
+
+    def loss_x(vv):
+        o = jax.vmap(lambda p: multislice(p, vv, prop, sigma))(psi_b)
+        return jnp.sum(jnp.abs(o) ** 2)
+
+    gf = jax.grad(loss_f)(v_stack)
+    gx = jax.grad(loss_x)(v_stack)
+    scale = float(jnp.max(jnp.abs(gx)))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=2e-5 * scale)
+
+
+def test_fscan_grad_engine_through_multislice(fields):
+    """make_slice_step('fscan', grad=True) engine: value_and_grad through
+    propagate.multislice; remat_chunk is accepted and subsumed."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.4 * v, 0.8 * v, 0.2 * v])
+    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype, grad=True)
+    assert step.grad_capable
+
+    def loss(vv, s, rc):
+        out = multislice(psi, vv, prop, sigma, slice_step=s, remat_chunk=rc)
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    lf, gf = jax.value_and_grad(lambda vv: loss(vv, step, 2))(v_stack)
+    lx, gx = jax.value_and_grad(lambda vv: loss(vv, None, None))(v_stack)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(gx)))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=2e-5 * scale)
+    # the forward value through the grad-capable engine still matches
+    out = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(multislice(psi, v_stack, prop, sigma)),
+        atol=2e-5,
+    )
+
+
+def test_fscan_thickness_series(fields):
+    """Thickness series through a whole-loop engine: one fused kernel per
+    output chunk (previously a per-slice call -> TypeError)."""
+    from fdes_tpu.propagate import make_slice_step, multislice_thickness_series
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.3 * v, 0.7 * v, 0.1 * v])
+    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype, grad=False)
+    got = multislice_thickness_series(
+        psi, v_stack, prop, sigma, every=2, slice_step=step
+    )
+    want = multislice_thickness_series(psi, v_stack, prop, sigma, every=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
