@@ -27,6 +27,31 @@ RESULTS = os.path.join(
 )
 
 
+def record(rec):
+    """One row per (kind, n, nslices, backend), LATEST wins: harness
+    re-runs used to append triplicates (noise for any parser —
+    VERDICT.md round-3 weak 5); history lives in git."""
+    key = lambda r: (r.get("kind"), r.get("n"), r.get("nslices"), r.get("backend"))  # noqa: E731
+    rows = []
+    try:
+        with open(RESULTS) as fh:
+            for line in fh:
+                if line.strip():
+                    try:
+                        rows.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+    except OSError:
+        pass
+    rows = [r for r in rows if key(r) != key(rec)]
+    rows.append(rec)
+    tmp = RESULTS + ".tmp"
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    os.replace(tmp, RESULTS)
+
+
 def reference_multislice(psi0, v, prop, sigma):
     """f64 NumPy multislice — the host-side exact rollout."""
     psi = psi0.astype(np.complex128)
@@ -86,7 +111,11 @@ def main():
         grads = {}
         for kind in kinds:
             step = make_slice_step(kind, shape=(n, n))
-            forward_only = hasattr(step, "whole_scan")  # fscan engines
+            # grad-capable whole-loop engines (adjoint_scan.py) get their
+            # grad row measured like the per-slice engines do
+            forward_only = hasattr(step, "whole_scan") and not getattr(
+                step, "grad_capable", False
+            )
             fn = jax.jit(
                 lambda p, vv, pr, st=step: multislice(p, vv, pr, sigma, slice_step=st)
             )
@@ -128,8 +157,7 @@ def main():
                     relg, tries=120, wait_s=20.0
                 )
             print(json.dumps(rec), flush=True)
-            with open(RESULTS, "a") as fh:
-                fh.write(json.dumps(rec) + "\n")
+            record(rec)
     return 0
 
 

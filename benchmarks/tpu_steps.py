@@ -67,17 +67,42 @@ def main():
                 rng.random(shape0) + 1j * rng.random(shape0)
             ).astype(np.complex64)
         )
+        grad_mode = os.environ.get("FDES_STEPS_GRAD", "0") == "1"
         for kind in kinds:
-            step = make_slice_step(kind, shape=(n, n), grad=False, batch=batch)
+            step = make_slice_step(kind, shape=(n, n), grad=grad_mode, batch=batch)
 
-            def run(p, vv, pr, st=step):
-                roll = lambda p0: multislice(p0, vv, pr, sigma, slice_step=st)  # noqa: E731
-                return jax.vmap(roll)(p) if batch > 1 else roll(p)
+            if grad_mode:
+                # FDES_STEPS_GRAD=1: time one value_and_grad of a scalar
+                # loss through the rollout — the inverse-path unit the
+                # engine selection for grad contexts must be measured on
+                # (VERDICT.md round-3 next item 3).  The carry chains
+                # through V so calls cannot overlap; psi0 travels as an
+                # ARGUMENT (a device-array closure needs a trace-time
+                # readback — tunnel-hostile).
+                def run(c, vv, pr, p0, st=step):
+                    def loss(vs):
+                        roll = lambda q: multislice(q, vs, pr, sigma, slice_step=st)  # noqa: E731
+                        out = jax.vmap(roll)(p0) if batch > 1 else roll(p0)
+                        return jnp.sum(jnp.real(out) ** 2)
+
+                    l, g = jax.value_and_grad(loss)(vv * (1 + c * 1e-30))
+                    return l + jnp.sum(jnp.abs(g[0, :1, :1]))
+
+                args = (v, prop, psi0)
+                x0 = jnp.float32(0.0)
+            else:
+
+                def run(p, vv, pr, st=step):
+                    roll = lambda p0: multislice(p0, vv, pr, sigma, slice_step=st)  # noqa: E731
+                    return jax.vmap(roll)(p) if batch > 1 else roll(p)
+
+                args = (v, prop)
+                x0 = psi0
 
             fn = jax.jit(run)
             pick = jax.jit(lambda a: jnp.abs(a.reshape(-1)[:1]))
             t0 = time.time()
-            p = fn(psi0, v, prop)
+            p = fn(x0, *args)
             # fetch a single element: completion barrier for the compile run.
             # Remote compiles can take 15-20+ min during which readback keeps
             # erroring, so this barrier gets a much larger retry budget.
@@ -85,7 +110,7 @@ def main():
             compile_s = time.time() - t0
             t0 = time.time()
             for _ in range(reps):
-                p = fn(p, v, prop)  # chained: output feeds input
+                p = fn(p, *args)  # chained: output feeds input
             fetch_scalar(pick(p))
             dt = (time.time() - t0) / reps
             rec = {
@@ -99,6 +124,8 @@ def main():
                 "backend": jax.default_backend(),
                 "sync": "fetch",
             }
+            if grad_mode:
+                rec["mode"] = "value_and_grad"
             print(json.dumps(rec), flush=True)
             with open(RESULTS, "a") as fh:
                 fh.write(json.dumps(rec) + "\n")

@@ -84,19 +84,42 @@ def main():
     psi0 = safe_put(
         (rng.random(shape0) + 1j * rng.random(shape0)).astype(np.complex64)
     )
-    step = make_slice_step(engine, shape=(n, n))
+    grad_mode = os.environ.get("FDES_TRACE_GRAD", "0") == "1"
+    step = make_slice_step(engine, shape=(n, n), grad=grad_mode, batch=batch)
 
-    def run(p, vv, pr):
-        roll = lambda p0: multislice(p0, vv, pr, sigma, slice_step=step)  # noqa: E731
-        return jax.vmap(roll)(p) if batch > 1 else roll(p)
+    if grad_mode:
+        # FDES_TRACE_GRAD=1: trace the value_and_grad unit (the config-3
+        # inverse shape) instead of the plain forward — the attribution
+        # tool for VERDICT.md round-3 next item 3.
+        logdir += "_grad"
+
+        def run(c, vv, pr, p0):
+            def loss(vs):
+                roll = lambda q: multislice(q, vs, pr, sigma, slice_step=step)  # noqa: E731
+                out = jax.vmap(roll)(p0) if batch > 1 else roll(p0)
+                return jnp.sum(jnp.real(out) ** 2)
+
+            l, g = jax.value_and_grad(loss)(vv * (1 + c * 1e-30))
+            return l + jnp.sum(jnp.abs(g[0, :1, :1]))
+
+        args = (v, prop, psi0)
+        x0 = jnp.float32(0.0)
+    else:
+
+        def run(p, vv, pr):
+            roll = lambda p0: multislice(p0, vv, pr, sigma, slice_step=step)  # noqa: E731
+            return jax.vmap(roll)(p) if batch > 1 else roll(p)
+
+        args = (v, prop)
+        x0 = psi0
 
     fn = jax.jit(run)
     pick = jax.jit(lambda a: jnp.abs(a.reshape(-1)[:1]))
     # compile outside the trace window (long-budget barrier)
-    fetch_scalar(pick(fn(psi0, v, prop)), tries=120, wait_s=20.0)
+    fetch_scalar(pick(fn(x0, *args)), tries=120, wait_s=20.0)
     jax.profiler.start_trace(logdir)
-    p = fn(psi0, v, prop)
-    p = fn(p, v, prop)
+    p = fn(x0, *args)
+    p = fn(p, *args)
     fetch_scalar(pick(p))
     jax.profiler.stop_trace()
     print(f"# trace in {logdir}")

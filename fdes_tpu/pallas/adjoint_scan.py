@@ -66,10 +66,10 @@ from .fused_step import (
 #: max checkpoint segment length per grid size: 2K psi planes live in
 #: scratch during the backward recompute (plus the K-plane V and dV
 #: blocks), bounded by the ~96 MiB scoped-VMEM budget at 512^2.
-_SEG_CAP = {128: 16, 256: 16, 512: 8}
+_SEG_CAP = {128: 16, 256: 16, 512: 8, 1024: 2}
 #: max native wave batch per grid size: the backward carries bar_psi for
 #: every batch element in persistent scratch (2B planes).
-_BATCH_CAP = {128: 64, 256: 32, 512: 4}
+_BATCH_CAP = {128: 64, 256: 32, 512: 4, 1024: 1}
 
 
 def pick_seg(nslices: int, n: int) -> int:

@@ -28,7 +28,9 @@ in-kernel recompute (pallas/adjoint_scan.py); make_fused_scan(grad=True)
 returns an engine whose whole_scan routes through that custom VJP, so
 value_and_grad works with no lax.scan/remat at all.
 
-Square grids with N in {128, 256, 512} (fused_step.py VMEM budget).
+Square grids with N in {128, 256, 512, 1024} (fused_step.py VMEM budget;
+1024 added in round 4 via a single in-kernel radix-8 stage per axis —
+VERDICT.md round-3 next item 2).
 """
 
 from __future__ import annotations

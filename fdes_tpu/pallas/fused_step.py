@@ -35,8 +35,10 @@ propagator-multiply backward does).
 — the SAME kernel pipeline run on conjugated planes (imag-negation is
 free at load/store) with the transmit-cotangent tail fused in.
 
-Square grids with N in {128, 256, 512} only: three live (N, N) f32 plane
-sets must fit the ~16 MiB VMEM; 1024^2+ grids keep the XLA FFT engine
+Square grids with N in {128, 256, 512, 1024}: the transform transients
+must fit VMEM (the 16 MiB default cap is raised per-kernel; at 1024^2 —
+one in-kernel radix-8 stage per axis, round 4 — the kernel gets nearly
+the whole 128 MiB physical VMEM).  2048^2 grids keep the XLA FFT engine
 (BASELINE.md engine table).
 """
 
@@ -58,8 +60,10 @@ BASE = 128
 def _axis_consts(n: int):
     """Host (R, twiddle_re, twiddle_im, F_re, F_im) for one axis."""
     r = n // BASE
-    if n != r * BASE or r not in (1, 2, 4):
-        raise ValueError(f"fused step supports N = {{128, 256, 512}}, got {n}")
+    if n != r * BASE or r not in (1, 2, 4, 8):
+        raise ValueError(
+            f"fused step supports N = {{128, 256, 512, 1024}}, got {n}"
+        )
     tw = np.exp(
         -2.0j * np.pi * np.arange(r)[:, None] * np.arange(BASE)[None, :] / n
     )
@@ -79,13 +83,40 @@ def _cmul(ar, ai, br, bi):
 
 
 def _butterfly(parts, r: int, sign: float):
-    """Unscaled radix-2/4 DFT across a list of (re, im) plane pairs;
+    """Unscaled radix-2/4/8 DFT across a list of (re, im) plane pairs;
     sign=-1.0 forward (W4 = -i), +1.0 conjugate/adjoint."""
     if r == 1:
         return parts
     if r == 2:
         (ar, ai), (br, bi) = parts
         return [(ar + br, ai + bi), (ar - br, ai - bi)]
+    if r == 8:
+        # 8-point DFT = two 4-point DFTs (even/odd chunks) + W8 twiddle:
+        # X[q] = E[q%4] + W8^q O[q%4] with W8^q = cos(qπ/4) + sign·i·sin;
+        # W8^{q+4} = -W8^q handles the upper half automatically.
+        import math
+
+        e = _butterfly(parts[0::2], 4, sign)
+        o = _butterfly(parts[1::2], 4, sign)
+        out = []
+        for q in range(8):
+            er, ei = e[q % 4]
+            orr, oi = o[q % 4]
+            if q % 2 == 0:
+                # W8^{0,4} = ±1; W8^{2,6} = ±sign·i — adds only
+                if q % 4 == 0:
+                    tr, ti = orr, oi
+                else:
+                    tr, ti = -sign * oi, sign * orr
+                if q >= 4:
+                    tr, ti = -tr, -ti
+            else:
+                c = math.cos(math.pi * q / 4.0)
+                s = sign * math.sin(math.pi * q / 4.0)
+                tr = orr * c - oi * s
+                ti = orr * s + oi * c
+            out.append((er + tr, ei + ti))
+        return out
     (ar, ai), (br, bi), (cr, ci), (dr, di) = parts
     s0r, s0i = ar + cr, ai + ci
     s1r, s1i = ar - cr, ai - ci
@@ -309,7 +340,10 @@ def _params(n):
     # The default Mosaic scoped-vmem cap is 16 MiB; the 512^2 kernel's
     # transient planes need ~24 MiB of stack.  v5e VMEM is 128 MiB —
     # raise the cap for this kernel only (measured to compile and run).
-    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    # 1024^2 planes are 4 MiB each; the transform transients scale with
+    # them, so that grid gets (nearly) the whole physical VMEM.
+    cap = 120 if n >= 1024 else 96
+    return pltpu.CompilerParams(vmem_limit_bytes=cap * 1024 * 1024)
 
 
 def _resolve_interpret(interpret):
@@ -319,11 +353,23 @@ def _resolve_interpret(interpret):
 
 
 def _prepared_prop(prop, n):
-    """Natural (n, n) propagator -> digit-split layout, scaled by 1/n^2
-    (the fused inverse transform is the unscaled conjugate chain)."""
-    from ..radix import permute_spectrum_radix
+    """Natural (n, n) propagator -> this kernel's digit-split layout,
+    scaled by 1/n^2 (the fused inverse transform is the unscaled
+    conjugate chain).
 
-    return permute_spectrum_radix(prop, n, n) * (1.0 / (n * n))
+    The kernel runs ONE radix-R stage per axis (R = n/128), so spectrum
+    index k = q + R*k1 lives at position q*128 + k1.  For R <= 4 this is
+    identical to radix.permute_spectrum_radix (radix_plan is single-stage
+    there); at 1024 radix.py's plan is two-stage (4, 2) with a different
+    digit order, hence the direct form here."""
+    r = n // BASE
+    p = prop
+    if r > 1:
+        # x axis: k = k1*r + q -> [.., q, k1]
+        p = p.reshape(n, BASE, r).transpose(0, 2, 1).reshape(n, n)
+        # y axis: same split on the leading axis
+        p = p.reshape(BASE, r, n).transpose(1, 0, 2).reshape(n, n)
+    return p * (1.0 / (n * n))
 
 
 def _tables(n):

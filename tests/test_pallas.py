@@ -647,3 +647,41 @@ def test_fscan_thickness_series(fields):
     )
     want = multislice_thickness_series(psi, v_stack, prop, sigma, every=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fscan_1024_radix8(fields):
+    """1024^2 whole-loop kernel (single in-kernel radix-8 stage per axis,
+    round 4): forward and adjoint vs xla, interpret mode."""
+    del fields
+    rng = np.random.default_rng(21)
+    n = 1024
+    grid = Grid(ny=n, nx=n, py=0.1, px=0.1)
+    psi = jnp.asarray(
+        (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))).astype(
+            np.complex64
+        )
+    )
+    v = jnp.asarray((rng.normal(size=(2, n, n)) * 20.0).astype(np.float32))
+    prop = jnp.asarray(
+        fresnel_propagator(grid, wavelength_A(KV), 2.0).astype(np.complex64)
+    )
+    sigma = interaction_sigma(KV)
+    from fdes_tpu.propagate import make_slice_step
+
+    step = make_slice_step("fscan", shape=(n, n), grad=True)
+    got = multislice(psi, v, prop, sigma, slice_step=step)
+    want = multislice(psi, v, prop, sigma)
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5 * scale
+    )
+    gf = jax.grad(
+        lambda vv: jnp.sum(jnp.real(multislice(psi, vv, prop, sigma, slice_step=step)) ** 2)
+    )(v)
+    gx = jax.grad(
+        lambda vv: jnp.sum(jnp.real(multislice(psi, vv, prop, sigma)) ** 2)
+    )(v)
+    gscale = float(jnp.max(jnp.abs(gx)))
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gx), atol=2e-5 * gscale
+    )
