@@ -83,6 +83,18 @@ def gradsteps_done(kind, n, batch, nslices=64):
     return False
 
 
+def tilt_done(kind, n, ntilt):
+    for r in rows(os.path.join(RES, "tilt_series.jsonl")):
+        if (
+            r.get("kind") == kind
+            and r.get("n") == n
+            and r.get("ntilt") == ntilt
+            and r.get("backend") != "cpu"
+        ):
+            return True
+    return False
+
+
 def config_done(tag):
     return bool(glob.glob(os.path.join(RES, f"*_full_{tag}.json")))
 
@@ -163,6 +175,21 @@ UNITS = [
     ),
     _acc_unit("acc1024-fscan-grad", "fscan", 1024, 32),
     _gradstep_unit("gradstep1024-fscan", "fscan", n=1024),
+    # 3c) tilt-series dispatch row (VERDICT item 5 "done" gate)
+    (
+        "tilt512-fscan",
+        lambda: tilt_done("fscan", 512, 8),
+        ["benchmarks/tilt_series.py", "fscan", "512", "8"],
+        {},
+        3600,
+    ),
+    (
+        "tilt512-fscan_fast",
+        lambda: tilt_done("fscan_fast", 512, 8),
+        ["benchmarks/tilt_series.py", "fscan_fast", "512", "8"],
+        {},
+        3600,
+    ),
     # 4) config-3 with the whole-loop grad engine (the round's headline)
     (
         "config3-fscan",

@@ -71,6 +71,11 @@ def main():
         for kind in kinds:
             step = make_slice_step(kind, shape=(n, n), grad=grad_mode, batch=batch)
 
+            # FDES_STEPS_REMAT=k adds sqrt-S-style chunked remat to the
+            # grad rollout (config-3's composition): measuring engines
+            # with AND without it attributes the per-slice-VJP train-step
+            # regression (VERDICT.md round-3 weak 1)
+            remat = int(os.environ.get("FDES_STEPS_REMAT", "0")) or None
             if grad_mode:
                 # FDES_STEPS_GRAD=1: time one value_and_grad of a scalar
                 # loss through the rollout — the inverse-path unit the
@@ -81,7 +86,9 @@ def main():
                 # readback — tunnel-hostile).
                 def run(c, vv, pr, p0, st=step):
                     def loss(vs):
-                        roll = lambda q: multislice(q, vs, pr, sigma, slice_step=st)  # noqa: E731
+                        roll = lambda q: multislice(  # noqa: E731
+                            q, vs, pr, sigma, slice_step=st, remat_chunk=remat
+                        )
                         out = jax.vmap(roll)(p0) if batch > 1 else roll(p0)
                         return jnp.sum(jnp.real(out) ** 2)
 
@@ -126,6 +133,8 @@ def main():
             }
             if grad_mode:
                 rec["mode"] = "value_and_grad"
+                if remat:
+                    rec["remat_chunk"] = remat
             print(json.dumps(rec), flush=True)
             with open(RESULTS, "a") as fh:
                 fh.write(json.dumps(rec) + "\n")

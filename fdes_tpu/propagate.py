@@ -108,10 +108,19 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     """Data-driven auto tiers from the v5e measurements (tpu_steps.jsonl +
     tpu_accuracy.jsonl, 2026-08-20/21; see BASELINE.md engine tables).
 
-    ``grad=False`` admits the forward-only fscan engines (whole slice loop
-    in one VMEM-resident kernel) for forward/STEM rollouts; with
-    ``grad=True`` only per-slice engines (custom VJPs composing with
-    lax.scan + remat) are selectable — the inverse path's contract.
+    Round 4: the whole-loop kernels are DIFFERENTIABLE (in-kernel
+    segment-checkpointed adjoint, pallas/adjoint_scan.py), so grad
+    contexts promote them too.  Measured value_and_grad of the 512²x64
+    unbatched rollout on v5e (tpu_steps.jsonl mode=value_and_grad,
+    2026-08-21): fscan_fast 7.7 ms / fused_fast 8.3 / radix 11.0 /
+    fscan 12.6 / mxu 19.6 — and the whole-loop adjoint is REMAT-INVARIANT
+    (7.74 ms with remat_chunk=8) while every per-slice engine pays
+    +28-34% recompute under remat (fused_fast 10.6, mxu 26.3).  On-chip
+    grad accuracy: fscan 1.4e-5 (the mxu/radix class), fscan_fast 1.3e-4.
+    Config-3 end-to-end: fscan 86.8 / fscan_fast 131.5 recon-iters/s vs
+    the round-3 per-slice best 37.8.  Batched grad contexts (the ptycho
+    probe axis) keep the per-slice engines until the auto-batched adjoint
+    composition is measured.
 
     Round-3 measured facts encoded here (512²x16 batch, 64 slices, post
     radix precision fix + concat-reassembly fix):
@@ -140,10 +149,13 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     from .radix import radix_plan
 
     ny, nx = shape
-    # fscan promotion only at its MEASURED shapes: 512² (37.9k/21.6k) and
-    # 256² (fscan_fast 114.7k vs mxu_fast 101.8k; fscan 74.5k vs mxu
-    # 62.1k, accuracy 7.4e-5 / 2.6e-6 certified on chip)
-    fscan_ok = ny == nx and ny in (256, 512) and not grad
+    # fscan promotion only at its MEASURED shapes: 512² (37.9k/21.6k fwd;
+    # 7.7/12.6 ms grad step) and 256² (fscan_fast 114.7k vs mxu_fast
+    # 101.8k; fscan 74.5k vs mxu 62.1k; accuracy 7.4e-5 / 2.6e-6 and grad
+    # 1.3e-4 / 1.1e-5 certified on chip).  Grad contexts promote only
+    # UNBATCHED (native-batch carry is VMEM-capped and the vmapped
+    # adjoint composition is unmeasured — per-slice engines keep those).
+    fscan_ok = ny == nx and ny in (256, 512) and (not grad or batch <= 1)
     # the radix tiers win only for BATCHED rollouts (the digit matmuls need
     # the batch to fill the MXU): at 512² unbatched radix is 3.4k vs mxu's
     # 6.1k, while at batch 16 radix is 19.0k vs mxu's 9.2k — callers pass

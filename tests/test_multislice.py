@@ -233,10 +233,13 @@ def test_make_slice_step_auto_tiers():
     assert _resolve_auto("auto_fast", (512, 512), False, 64) == "fscan_fast"
     assert _resolve_auto("auto_fast", (256, 256), False, 16) == "fscan_fast"
     assert _resolve_auto("auto", (128, 128), False, 16) == "mxu"
-    # UNBATCHED grad rollouts keep the dense mxu tiers at 512^2 (radix
-    # only wins batched: 19.0k@b16 vs 3.4k@b1 against mxu's 9.2k/6.1k)
-    assert _resolve_auto("auto", (512, 512), True, 1) == "mxu"
-    assert _resolve_auto("auto_fast", (512, 512), True, 1) == "mxu_fast"
+    # UNBATCHED grad rollouts promote the whole-loop adjoint (round 4:
+    # fscan_fast 7.7 ms vs mxu 19.6 ms value_and_grad at 512^2x64;
+    # grad-err 1.4e-5/1.3e-4 certified on chip); batched grad contexts
+    # keep the per-slice engines (asserted above)
+    assert _resolve_auto("auto", (512, 512), True, 1) == "fscan"
+    assert _resolve_auto("auto_fast", (512, 512), True, 1) == "fscan_fast"
+    assert _resolve_auto("auto", (256, 256), True, 1) == "fscan"
     # non-128*2^m axes cannot take the radix engines: fall back, never crash
     assert _resolve_auto("auto", (384, 384), True, 16) == "mxu"
     assert _resolve_auto("auto_fast", (384, 384), True, 16) == "mxu_fast"
