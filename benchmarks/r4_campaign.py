@@ -207,6 +207,32 @@ UNITS = [
         {},
         3600,
     ),
+    # 5) fresh full_r4 artifacts with the promoted auto tiers (config 3
+    # now resolves the whole-loop adjoint through the product path)
+    (
+        "configs123-auto",
+        lambda: config_done("r4main"),
+        ["benchmarks/run_configs.py", "--configs", "1,2,3", "--step",
+         "auto", "--tag", "r4main"],
+        {},
+        3600,
+    ),
+    (
+        "config4-auto",
+        lambda: config_done("r4c4"),
+        ["benchmarks/run_configs.py", "--configs", "4", "--step", "auto",
+         "--tag", "r4c4"],
+        {},
+        3600,
+    ),
+    (
+        "config4-autofast",
+        lambda: config_done("r4c4fast"),
+        ["benchmarks/run_configs.py", "--configs", "4", "--step",
+         "auto_fast", "--tag", "r4c4fast"],
+        {},
+        3600,
+    ),
 ]
 
 

@@ -66,7 +66,10 @@ from .fused_step import (
 #: max checkpoint segment length per grid size: 2K psi planes live in
 #: scratch during the backward recompute (plus the K-plane V and dV
 #: blocks), bounded by the ~96 MiB scoped-VMEM budget at 512^2.
-_SEG_CAP = {128: 16, 256: 16, 512: 8, 1024: 2}
+#: 1024 runs seg=1 (checkpoint EVERY slice, no in-segment recompute): the
+#: 4 MiB planes put seg=2's recompute scratch + doubled V/dV blocks over
+#: the 120 MiB scoped-VMEM cap (measured Mosaic overflow, r4 campaign)
+_SEG_CAP = {128: 16, 256: 16, 512: 8, 1024: 1}
 #: max native wave batch per grid size: the backward carries bar_psi for
 #: every batch element in persistent scratch (2B planes).
 _BATCH_CAP = {128: 64, 256: 32, 512: 4, 1024: 1}
@@ -117,15 +120,17 @@ def _bwd_scan_kernel(
     v_ref, ckr_ref, cki_ref, gr_ref, gi_ref, plr_ref, pli_ref,
     twr_ref, twi_ref, fr_ref, fi_ref,
     dvr_ref, dpr_ref, dpi_ref,
-    cr_ref, ci_ref, skr_ref, ski_ref,
-    *, sigma, radix, precision, seg, nseg,
+    cr_ref, ci_ref, *sk,
+    sigma, radix, precision, seg, nseg,
 ):
     """One K-slice segment of the conjugate recursion, batch innermost.
 
     Segments run last-to-first (index maps reverse the grid axis); within
     a segment: forward recompute from the checkpoint into (skr, ski)
     scratch, then the reverse sweep updating the per-batch bar_psi carry
-    (cr, ci) and accumulating dV."""
+    (cr, ci) and accumulating dV.  seg == 1 skips the recompute scratch
+    entirely and reads psi straight from the checkpoint block (the 4 MiB
+    planes at 1024^2 need every VMEM byte — measured Mosaic overflow)."""
     i = pl.program_id(0)
     b = pl.program_id(1)
     consts = (radix, twr_ref[:], twi_ref[:], fr_ref[:], fi_ref[:])
@@ -141,25 +146,36 @@ def _bwd_scan_kernel(
     def _zero_dv():
         dvr_ref[:] = jnp.zeros(dvr_ref.shape, dvr_ref.dtype)
 
-    # forward recompute: skr[k] holds psi_k (the wave ENTERING slice k of
-    # this segment), k = 0..seg-1
-    skr_ref[0] = ckr_ref[0, 0]
-    ski_ref[0] = cki_ref[0, 0]
+    if seg > 1:
+        skr_ref, ski_ref = sk
+        # forward recompute: skr[k] holds psi_k (the wave ENTERING slice
+        # k of this segment), k = 0..seg-1
+        skr_ref[0] = ckr_ref[0, 0]
+        ski_ref[0] = cki_ref[0, 0]
 
-    def fwd_body(k, _):
-        zr = skr_ref[k - 1]
-        zi = ski_ref[k - 1]
-        phase = sigma * v_ref[k - 1]
-        c = jnp.cos(phase)
-        sn = jnp.sin(phase)
-        sr = zr * c - zi * sn
-        si = zr * sn + zi * c
-        sr, si = _pipeline(sr, si, plr, pli, consts, precision)
-        skr_ref[k] = sr
-        ski_ref[k] = si
-        return 0
+        def fwd_body(k, _):
+            zr = skr_ref[k - 1]
+            zi = ski_ref[k - 1]
+            phase = sigma * v_ref[k - 1]
+            c = jnp.cos(phase)
+            sn = jnp.sin(phase)
+            sr = zr * c - zi * sn
+            si = zr * sn + zi * c
+            sr, si = _pipeline(sr, si, plr, pli, consts, precision)
+            skr_ref[k] = sr
+            ski_ref[k] = si
+            return 0
 
-    jax.lax.fori_loop(1, seg, fwd_body, 0)
+        jax.lax.fori_loop(1, seg, fwd_body, 0)
+
+        def read_psi(k):
+            return skr_ref[k], ski_ref[k]
+
+    else:
+
+        def read_psi(k):
+            del k
+            return ckr_ref[0, 0], cki_ref[0, 0]
 
     def bwd_body(t, _):
         k = seg - 1 - t
@@ -174,8 +190,7 @@ def _bwd_scan_kernel(
         phase = sigma * v_ref[k]
         c = jnp.cos(phase)
         sn = jnp.sin(phase)
-        pr_ = skr_ref[k]
-        pi_ = ski_ref[k]
+        pr_, pi_ = read_psi(k)
         tpr = pr_ * c - pi_ * sn
         tpi = pr_ * sn + pi_ * c
         # bar_V = -sigma * Im(bar_s * t * psi)
@@ -285,11 +300,21 @@ def _run_backward(ckr, cki, v_stack, propagator, g, sigma, precision, seg):
         scratch_shapes=[
             pltpu.VMEM((b, n, n), rdt),  # bar_psi carry re
             pltpu.VMEM((b, n, n), rdt),  # bar_psi carry im
-            pltpu.VMEM((seg, n, n), rdt),  # recomputed psi re
-            pltpu.VMEM((seg, n, n), rdt),  # recomputed psi im
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((seg, n, n), rdt),  # recomputed psi re
+                pltpu.VMEM((seg, n, n), rdt),  # recomputed psi im
+            ]
+            if seg > 1
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_params(n).vmem_limit_bytes,
+            # the backward's adjoint pipeline + dV/carry blocks are the
+            # VMEM high-water mark; at 1024^2 it needs the physical cap
+            vmem_limit_bytes=(
+                127 * 1024 * 1024 if n >= 1024 else _params(n).vmem_limit_bytes
+            ),
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interp,

@@ -318,6 +318,15 @@ def make_slice_step(
             "fscan_fast": "bf16x3",  # ~7.5e-5 exit err class
             "fscan_draft": "bf16x1",  # single-pass bf16: ~mxu_fast class
         }.get(kind, jax.lax.Precision.HIGHEST)
+        if grad and max(shape) >= 1024:
+            # the whole-loop BACKWARD exceeds 1024^2 VMEM (fused_scan.py
+            # fallback note); returning the per-slice fused step here
+            # keeps remat_chunk composing normally for pod-grid inverses
+            from .pallas.fused_step import make_fused_slice_step
+
+            return make_fused_slice_step(
+                *shape, dtype=dtype or jnp.complex64, precision=precision
+            )
         # grad=True routes through the whole-loop custom VJP
         # (pallas/adjoint_scan.py): segment-checkpointed in-kernel adjoint
         return make_fused_scan(
