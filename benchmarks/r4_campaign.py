@@ -55,6 +55,19 @@ def acc_done(kind, n, nslices, need_grad=False):
     return False
 
 
+def acc_fwd_done(kind, n, nslices):
+    for r in rows(os.path.join(RES, "tpu_accuracy.jsonl")):
+        if (
+            r.get("kind") == kind
+            and r.get("n") == n
+            and r.get("nslices") == nslices
+            and r.get("engine_grad") is False
+            and r.get("backend") != "cpu"
+        ):
+            return True
+    return False
+
+
 def steps_fwd_done(kind, n, batch, nslices=64):
     for r in rows(os.path.join(RES, "tpu_steps.jsonl")):
         if (
@@ -141,6 +154,13 @@ UNITS = [
     _gradstep_unit("gradstep256-mxu", "mxu", n=256),
     _gradstep_unit("gradstep256-fscan", "fscan", n=256),
     _gradstep_unit("gradstep256-fscan_fast", "fscan_fast", n=256),
+    # batched grad (the ptycho probe axis): vmap-of-grad through the
+    # auto-batched whole-loop adjoint vs the per-slice radix tier that
+    # currently owns 1<batch<=16 grad contexts
+    _gradstep_unit("gradstep512b16-radix", "radix", batch=16),
+    _gradstep_unit("gradstep512b16-radix_fast", "radix_fast", batch=16),
+    _gradstep_unit("gradstep512b16-fscan", "fscan", batch=16),
+    _gradstep_unit("gradstep512b16-fscan_fast", "fscan_fast", batch=16),
     # 3b) the pod grid attacked with whole-loop fusion (VERDICT item 2):
     # 1024^2 forward rows at the batches the engine table compares
     # (mxu_fast 2.36k batched / xla 1.61k batched / xla 2.58k unbatched),
@@ -175,6 +195,17 @@ UNITS = [
     ),
     _acc_unit("acc1024-fscan-grad", "fscan", 1024, 32),
     _gradstep_unit("gradstep1024-fscan", "fscan", n=1024),
+    _gradstep_unit("gradstep1024-xla", "xla", n=1024),
+    # forward-only whole-loop certification at 1024^2 (the grad engine
+    # routes to the per-slice fallback there, so the whole-loop FORWARD
+    # needs its own exit-error row)
+    (
+        "acc1024-fscan-fwd",
+        lambda: acc_fwd_done("fscan", 1024, 32),
+        ["benchmarks/tpu_accuracy.py", "1024", "32"],
+        {"FDES_ACC_KINDS": "fscan,fscan_fast", "FDES_ACC_GRAD": "0"},
+        3600,
+    ),
     # 3c) tilt-series dispatch row (VERDICT item 5 "done" gate)
     (
         "tilt512-fscan",

@@ -31,7 +31,10 @@ def record(rec):
     """One row per (kind, n, nslices, backend), LATEST wins: harness
     re-runs used to append triplicates (noise for any parser —
     VERDICT.md round-3 weak 5); history lives in git."""
-    key = lambda r: (r.get("kind"), r.get("n"), r.get("nslices"), r.get("backend"))  # noqa: E731
+    key = lambda r: (  # noqa: E731
+        r.get("kind"), r.get("n"), r.get("nslices"), r.get("backend"),
+        r.get("engine_grad", True),
+    )
     rows = []
     try:
         with open(RESULTS) as fh:
@@ -109,8 +112,12 @@ def main():
         psi0 = safe_put(psi0_host)
 
         grads = {}
+        # FDES_ACC_GRAD=0 requests the forward-only engine variants (the
+        # fscan kinds route differently per grad at pod grids, so both
+        # paths need their own certification rows)
+        grad_engines = os.environ.get("FDES_ACC_GRAD", "1") == "1"
         for kind in kinds:
-            step = make_slice_step(kind, shape=(n, n))
+            step = make_slice_step(kind, shape=(n, n), grad=grad_engines)
             # grad-capable whole-loop engines (adjoint_scan.py) get their
             # grad row measured like the per-slice engines do
             forward_only = hasattr(step, "whole_scan") and not getattr(
@@ -148,6 +155,8 @@ def main():
                 "exit_rel_err_vs_f64": rel,
                 "backend": jax.default_backend(),
             }
+            if not grad_engines:
+                rec["engine_grad"] = False
             if kind != "xla" and kind in grads and "xla" in grads:
                 relg = jax.jit(
                     lambda a, b: jnp.linalg.norm(a - b) / jnp.linalg.norm(b)

@@ -155,7 +155,16 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # 1.3e-4 / 1.1e-5 certified on chip).  Grad contexts promote only
     # UNBATCHED (native-batch carry is VMEM-capped and the vmapped
     # adjoint composition is unmeasured — per-slice engines keep those).
-    fscan_ok = ny == nx and ny in (256, 512) and (not grad or batch <= 1)
+    # Round 4 extends FORWARD promotion to 1024² (in-kernel radix-8):
+    # fscan 4.0k b1 / fscan_fast 5.5k b1, 8.8k b8 vs the prior best
+    # xla 2.6k / mxu_fast 2.4k — the VMEM-resident loop removes the HBM
+    # traffic that bound this grid; measured at b1/b8, so batches > 8
+    # keep the previous winners until measured.
+    fscan_ok = (
+        ny == nx
+        and (ny in (256, 512) or (ny == 1024 and not grad and batch <= 8))
+        and (not grad or batch <= 1)
+    )
     # the radix tiers win only for BATCHED rollouts (the digit matmuls need
     # the batch to fill the MXU): at 512² unbatched radix is 3.4k vs mxu's
     # 6.1k, while at batch 16 radix is 19.0k vs mxu's 9.2k — callers pass
@@ -243,8 +252,12 @@ def make_slice_step(
         ):
             # the whole-loop Pallas kernels run in INTERPRET mode off-TPU
             # (pathologically slow at 512²) — auto falls back to the dense
-            # engines there; explicit fscan selection still works
-            kind = "mxu_fast" if kind == "fscan_fast" else "mxu"
+            # engines there (xla above the mxu engines' win region);
+            # explicit fscan selection still works
+            if max(shape) >= 1024:
+                kind = "mxu_fast" if kind == "fscan_fast" else "xla"
+            else:
+                kind = "mxu_fast" if kind == "fscan_fast" else "mxu"
     if kind == "xla":
         return None  # multislice default
     if kind == "pallas":

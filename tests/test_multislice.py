@@ -240,6 +240,13 @@ def test_make_slice_step_auto_tiers():
     assert _resolve_auto("auto", (512, 512), True, 1) == "fscan"
     assert _resolve_auto("auto_fast", (512, 512), True, 1) == "fscan_fast"
     assert _resolve_auto("auto", (256, 256), True, 1) == "fscan"
+    # 1024^2 FORWARD promotes the radix-8 whole-loop kernel at measured
+    # batches (fscan 4.0k b1 / fscan_fast 8.8k b8 vs xla 2.6k / mxu_fast
+    # 2.4k); >8 batches and grad contexts keep the previous winners
+    assert _resolve_auto("auto", (1024, 1024), False, 1) == "fscan"
+    assert _resolve_auto("auto_fast", (1024, 1024), False, 8) == "fscan_fast"
+    assert _resolve_auto("auto_fast", (1024, 1024), False, 16) == "mxu_fast"
+    assert _resolve_auto("auto", (1024, 1024), True, 1) == "xla"
     # non-128*2^m axes cannot take the radix engines: fall back, never crash
     assert _resolve_auto("auto", (384, 384), True, 16) == "mxu"
     assert _resolve_auto("auto_fast", (384, 384), True, 16) == "mxu_fast"
