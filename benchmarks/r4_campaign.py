@@ -264,6 +264,17 @@ UNITS = [
         {},
         3600,
     ),
+    # config-2 re-run: the r4main pass measured 1,185 images/s vs round
+    # 3's 1,289 with the same resolved engine — one more sample decides
+    # noise vs regression
+    (
+        "config2-confirm",
+        lambda: config_done("r4c2b"),
+        ["benchmarks/run_configs.py", "--configs", "2", "--step", "auto",
+         "--tag", "r4c2b"],
+        {},
+        3600,
+    ),
 ]
 
 
