@@ -267,6 +267,16 @@ UNITS = [
     # config-2 re-run: the r4main pass measured 1,185 images/s vs round
     # 3's 1,289 with the same resolved engine — one more sample decides
     # noise vs regression
+    # 6) new config-7 (ptycho inverse): the batched-grad context's
+    # headline, timed through the product path
+    (
+        "config7-auto",
+        lambda: config_done("r4c7"),
+        ["benchmarks/run_configs.py", "--configs", "7", "--step", "auto",
+         "--tag", "r4c7"],
+        {},
+        3600,
+    ),
     (
         "config2-confirm",
         lambda: config_done("r4c2b"),

@@ -513,7 +513,87 @@ def config6(scale, step_kind):
     }
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5, 6: config6}
+def config7(scale, step_kind):
+    """4D-STEM ptychographic inverse (beyond-reference modality,
+    recon.modality='stem4d'): one adam step of value_and_grad through
+    stem_raster_4d against observed CBED stacks — the BATCHED-grad
+    context (vmap over probes), which exercises the engine tier the
+    defocus-series inverse (config 3) does not."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import fdes_tpu as f
+    from fdes_tpu.forward import stem_raster_4d
+    from fdes_tpu.grids import host_cast
+    from fdes_tpu.profiling import fetch_scalar
+    from fdes_tpu.propagate import make_slice_step, pick_remat_chunk
+
+    grid, sliced, kv, lam, sigma, v_true, prop, psi0 = _sim(scale, 512, 64)
+    nprobes = 64 if scale == "full" else 8
+    chunk = 16 if scale == "full" else 4
+    remat = pick_remat_chunk(sliced.nslices)
+    stencil = safe_put(host_cast(f.probe_stencil(grid, lam, 20e-3), jnp.complex64))
+    qy = safe_put(host_cast(grid.qy()[:, None], jnp.float32))
+    qx = safe_put(host_cast(grid.qx()[None, :], jnp.float32))
+    rng = np.random.default_rng(0)
+    pos = safe_put(
+        (rng.random((nprobes, 2)) * np.array(grid.extent)).astype(np.float32)
+    )
+    step = make_slice_step(step_kind, shape=grid.shape, grad=True, batch=chunk)
+
+    def fwd(v, stencil, qy, qx, pos, prop):
+        return stem_raster_4d(
+            v, stencil, qy, qx, pos, prop, sigma,
+            probe_chunk=chunk, remat_chunk=remat, slice_step=step,
+        )
+
+    i_obs = jax.jit(fwd)(v_true, stencil, qy, qx, pos, prop)
+
+    def loss_fn(v, stencil, qy, qx, pos, prop, i_obs):
+        sim = fwd(v, stencil, qy, qx, pos, prop)
+        r = sim - i_obs
+        return jnp.sum(r * r)
+
+    opt = optax.adam(5.0)
+
+    @jax.jit
+    def train_step(v, st, *args):
+        loss, g = jax.value_and_grad(loss_fn)(v, *args)
+        up, st = opt.update(g, st, v)
+        return optax.apply_updates(v, up), st, loss
+
+    v = jnp.zeros_like(v_true)
+    st = jax.jit(opt.init)(v)
+    args = (stencil, qy, qx, pos, prop, i_obs)
+    t0 = time.time()
+    v, st, loss = train_step(v, st, *args)
+    fetch_scalar(loss, tries=120, wait_s=20.0)
+    compile_s = time.time() - t0
+    iters = 5 if scale == "full" else 3
+    t0 = time.time()
+    for _ in range(iters):
+        v, st, loss = train_step(v, st, *args)
+    loss_val = fetch_scalar(loss)
+    dt = (time.time() - t0) / iters
+    return {
+        "ptycho_iters_per_s": 1.0 / dt,
+        "iter_ms": dt * 1e3,
+        "probe_grads_per_s": nprobes / dt,
+        "compile_s": round(compile_s, 1),
+        "loss_after": loss_val,
+        "grid": grid.shape,
+        "nslices": sliced.nslices,
+        "nprobes": nprobes,
+        "probe_chunk": chunk,
+        "remat_chunk": remat,
+    }
+
+
+CONFIGS = {
+    1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+    6: config6, 7: config7,
+}
 
 
 def main(argv=None):

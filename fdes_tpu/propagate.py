@@ -175,6 +175,11 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         and radix_plan(ny) is not None
         and radix_plan(nx) is not None
     )
+    # 1024² UNBATCHED grad: the per-slice fused adjoint beats the FFT
+    # (value_and_grad 47.5 ms vs xla 53.4 ms at 64 slices; grad 9.3e-6
+    # certified on chip) — the whole-loop backward does not fit that
+    # grid's VMEM (adjoint_scan.py floor note)
+    fused1024_grad = max(shape) == 1024 and ny == nx and grad and batch <= 1
     if kind == "auto":
         if fscan_ok:
             # fastest accuracy tier at EVERY measured batch (512²: 11.1k
@@ -184,6 +189,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
             return "mxu"
         if radix_ok and max(shape) <= 512:
             return "radix"
+        if fused1024_grad:
+            return "fused"
         return "mxu" if max(shape) <= 512 else "xla"
     if fscan_ok:
         return "fscan_fast"  # 13.7k/37.9k/41.4k at b1/b16/b64, 7.5e-5
@@ -191,6 +198,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         return "mxu_fast"
     if radix_ok and max(shape) <= 512:
         return "radix_fast"
+    if fused1024_grad:
+        return "fused_fast"
     return "mxu_fast" if max(shape) <= 1024 else "xla"
 
 
@@ -258,6 +267,13 @@ def make_slice_step(
                 kind = "mxu_fast" if kind == "fscan_fast" else "xla"
             else:
                 kind = "mxu_fast" if kind == "fscan_fast" else "mxu"
+        if kind in ("fused", "fused_fast") and jax.default_backend() not in (
+            "tpu",
+            "axon",
+        ):
+            # same off-TPU rule for the per-slice VMEM kernels (interpret
+            # mode at 1024² is pathological on CPUs)
+            kind = "xla"
     if kind == "xla":
         return None  # multislice default
     if kind == "pallas":

@@ -246,13 +246,24 @@ def test_make_slice_step_auto_tiers():
     assert _resolve_auto("auto", (1024, 1024), False, 1) == "fscan"
     assert _resolve_auto("auto_fast", (1024, 1024), False, 8) == "fscan_fast"
     assert _resolve_auto("auto_fast", (1024, 1024), False, 16) == "mxu_fast"
-    assert _resolve_auto("auto", (1024, 1024), True, 1) == "xla"
+    # 1024^2 unbatched grad: per-slice fused adjoint beats the FFT
+    # (47.5 vs 53.4 ms value_and_grad; whole-loop bwd exceeds VMEM there)
+    assert _resolve_auto("auto", (1024, 1024), True, 1) == "fused"
+    assert _resolve_auto("auto_fast", (1024, 1024), True, 1) == "fused_fast"
+    assert _resolve_auto("auto", (2048, 2048), True, 1) == "xla"
     # non-128*2^m axes cannot take the radix engines: fall back, never crash
     assert _resolve_auto("auto", (384, 384), True, 16) == "mxu"
     assert _resolve_auto("auto_fast", (384, 384), True, 16) == "mxu_fast"
     assert make_slice_step("auto", shape=(512, 512)) is not None
     assert make_slice_step("auto", shape=(2048, 2048)) is None  # xla default
-    assert make_slice_step("auto_fast", shape=(1024, 1024)) is not None
+    # off-TPU, 1024^2 grad (the default) resolves fused tiers -> xla
+    # fallback (interpret mode at that grid is pathological on CPUs);
+    # forward contexts keep a real step off-TPU
+    assert make_slice_step("auto_fast", shape=(1024, 1024)) is None
+    assert (
+        make_slice_step("auto_fast", shape=(1024, 1024), grad=False, batch=16)
+        is not None
+    )
     assert make_slice_step("auto_fast", shape=(2048, 2048)) is None
     with pytest.raises(ValueError):
         make_slice_step("auto")  # needs shape
