@@ -119,8 +119,10 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     grad accuracy: fscan 1.4e-5 (the mxu/radix class), fscan_fast 1.3e-4.
     Config-3 end-to-end: fscan 86.8 / fscan_fast 131.5 recon-iters/s vs
     the round-3 per-slice best 37.8.  Batched grad contexts (the ptycho
-    probe axis) keep the per-slice engines until the auto-batched adjoint
-    composition is measured.
+    probe axis) keep the per-slice radix tiers — MEASURED, not assumed:
+    at 512²x64 b16 value_and_grad, radix_fast 70.1 ms / auto-batched
+    fscan_fast 74.7 / radix 98.8 / fscan 137.3 (the vmapped whole-loop
+    adjoint materialises per-lane dV in HBM and loses its edge).
 
     Round-3 measured facts encoded here (512²x16 batch, 64 slices, post
     radix precision fix + concat-reassembly fix):
@@ -153,8 +155,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # 7.7/12.6 ms grad step) and 256² (fscan_fast 114.7k vs mxu_fast
     # 101.8k; fscan 74.5k vs mxu 62.1k; accuracy 7.4e-5 / 2.6e-6 and grad
     # 1.3e-4 / 1.1e-5 certified on chip).  Grad contexts promote only
-    # UNBATCHED (native-batch carry is VMEM-capped and the vmapped
-    # adjoint composition is unmeasured — per-slice engines keep those).
+    # UNBATCHED (native-batch carry is VMEM-capped, and the vmapped
+    # adjoint MEASURED slower than radix at b16 — docstring numbers).
     # Round 4 extends FORWARD promotion to 1024² (in-kernel radix-8):
     # fscan 4.0k b1 / fscan_fast 5.5k b1, 8.8k b8 vs the prior best
     # xla 2.6k / mxu_fast 2.4k — the VMEM-resident loop removes the HBM
