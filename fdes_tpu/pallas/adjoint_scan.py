@@ -73,6 +73,9 @@ _SEG_CAP = {128: 16, 256: 16, 512: 8, 1024: 1}
 #: max native wave batch per grid size: the backward carries bar_psi for
 #: every batch element in persistent scratch (2B planes).
 _BATCH_CAP = {128: 64, 256: 32, 512: 4, 1024: 1}
+#: store-s residual budget: above this the adjoint switches from the
+#: store-every-slice backward to segment-checkpointed recompute
+_STORE_CAP_BYTES = 2 * 1024 ** 3
 
 
 def pick_seg(nslices: int, n: int) -> int:
@@ -210,6 +213,183 @@ def _bwd_scan_kernel(
         dpi_ref[0] = ci_ref[b]
 
 
+def _sfwd_kernel(
+    v_ref, pr_ref, pi_ref, plr_ref, pli_ref, twr_ref, twi_ref, fr_ref, fi_ref,
+    or_ref, oi_ref, sr_ref, si_ref, *, sigma, radix, precision,
+):
+    """Forward-under-differentiation, store-s variant: writes the
+    POST-TRANSMIT wave s_j = t_j psi_j for EVERY slice (2 planes/slice to
+    HBM).  dV needs exactly Im(bar_s * s) and bar_psi needs only t (a
+    cos/sin of the streamed V), so the backward then runs ONE adjoint
+    pipeline per slice with zero recompute — value_and_grad costs ~2x the
+    forward instead of 3x (segment-recompute path)."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        or_ref[0] = pr_ref[0]
+        oi_ref[0] = pi_ref[0]
+
+    zr = or_ref[0]
+    zi = oi_ref[0]
+    phase = sigma * v_ref[0]
+    c = jnp.cos(phase)
+    sn = jnp.sin(phase)
+    sr = zr * c - zi * sn
+    si = zr * sn + zi * c
+    sr_ref[0, 0] = sr
+    si_ref[0, 0] = si
+    consts = (radix, twr_ref[:], twi_ref[:], fr_ref[:], fi_ref[:])
+    sr, si = _pipeline(sr, si, plr_ref[:], pli_ref[:], consts, precision)
+    or_ref[0] = sr
+    oi_ref[0] = si
+
+
+def _bwd_store_kernel(
+    v_ref, ssr_ref, ssi_ref, gr_ref, gi_ref, plr_ref, pli_ref,
+    twr_ref, twi_ref, fr_ref, fi_ref,
+    dvr_ref, dpr_ref, dpi_ref,
+    cr_ref, ci_ref,
+    *, sigma, radix, precision, nslices,
+):
+    """Store-s backward: grid (S, B) with slices last-to-first, batch
+    innermost; one adjoint pipeline per step, s_j streamed from HBM."""
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    consts = (radix, twr_ref[:], twi_ref[:], fr_ref[:], fi_ref[:])
+
+    @pl.when(i == 0)
+    def _init_carry():
+        cr_ref[b] = gr_ref[0]
+        ci_ref[b] = gi_ref[0]
+
+    @pl.when(b == 0)
+    def _zero_dv():
+        dvr_ref[:] = jnp.zeros(dvr_ref.shape, dvr_ref.dtype)
+
+    br = cr_ref[b]
+    bi = ci_ref[b]
+    ur, ui = _pipeline(br, -bi, plr_ref[:], -pli_ref[:], consts, precision)
+    bsr = ur
+    bsi = -ui
+    # bar_V = -sigma * Im(bar_s * s)  (s = t*psi, stored by the forward)
+    sr = ssr_ref[0, 0]
+    si = ssi_ref[0, 0]
+    dvr_ref[0] += -sigma * (bsr * si + bsi * sr)
+    # bar_psi = t * bar_s
+    phase = sigma * v_ref[0]
+    c = jnp.cos(phase)
+    sn = jnp.sin(phase)
+    cr_ref[b] = bsr * c - bsi * sn
+    ci_ref[b] = bsr * sn + bsi * c
+
+    @pl.when(i == nslices - 1)
+    def _final():
+        dpr_ref[0] = cr_ref[b]
+        dpi_ref[0] = ci_ref[b]
+
+
+def _run_forward_store(psi_b, v_stack, propagator, sigma, precision):
+    """(B, n, n) forward storing s every slice; returns (psi_out, s_re,
+    s_im) with the s stack of shape (B, S, n, n)."""
+    b, n, _ = psi_b.shape
+    s = v_stack.shape[0]
+    interp = _resolve_interpret(None)
+    precision = precision or jax.lax.Precision.HIGHEST
+    r, twr, twi, fr, fi = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(psi_b.dtype), n)
+    rdt = jnp.real(psi_b).dtype
+
+    const2 = lambda shape: pl.BlockSpec(shape, lambda bi, si: (0,) * len(shape))  # noqa: E731
+    per_batch = pl.BlockSpec((1, n, n), lambda bi, si: (bi, 0, 0))
+    s_spec = pl.BlockSpec((1, 1, n, n), lambda bi, si: (bi, si, 0, 0))
+    base = 128
+    outr, outi, ssr, ssi = pl.pallas_call(
+        functools.partial(
+            _sfwd_kernel, sigma=rdt.type(sigma), radix=r, precision=precision
+        ),
+        grid=(b, s),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda bi, si: (si, 0, 0)),
+            per_batch,
+            per_batch,
+            const2((n, n)),
+            const2((n, n)),
+            const2(twr.shape),
+            const2(twi.shape),
+            const2((base, base)),
+            const2((base, base)),
+        ],
+        out_specs=[per_batch, per_batch, s_spec, s_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), rdt)] * 2
+        + [jax.ShapeDtypeStruct((b, s, n, n), rdt)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_params(n).vmem_limit_bytes,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(
+        v_stack.astype(rdt), jnp.real(psi_b), jnp.imag(psi_b),
+        jnp.real(pl_c), jnp.imag(pl_c), twr, twi, fr, fi,
+    )
+    return jax.lax.complex(outr, outi), ssr, ssi
+
+
+def _run_backward_store(ssr, ssi, v_stack, propagator, g, sigma, precision):
+    """Store-s whole-loop adjoint; returns (dV, bar_psi0)."""
+    b, s, n, _ = ssr.shape
+    interp = _resolve_interpret(None)
+    precision = precision or jax.lax.Precision.HIGHEST
+    r, twr, twi, fr, fi = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(g.dtype), n)
+    rdt = jnp.real(g).dtype
+
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i, bi: (0,) * len(shape))  # noqa: E731
+    rev_slice = pl.BlockSpec((1, n, n), lambda i, bi: (s - 1 - i, 0, 0))
+    rev_s = pl.BlockSpec((1, 1, n, n), lambda i, bi: (bi, s - 1 - i, 0, 0))
+    per_batch = pl.BlockSpec((1, n, n), lambda i, bi: (bi, 0, 0))
+    base = 128
+    dv, dpr, dpi = pl.pallas_call(
+        functools.partial(
+            _bwd_store_kernel, sigma=rdt.type(sigma), radix=r,
+            precision=precision, nslices=s,
+        ),
+        grid=(s, b),
+        in_specs=[
+            rev_slice,  # V_j (for t in the bar_psi update)
+            rev_s,  # s re
+            rev_s,  # s im
+            per_batch,  # cotangent re
+            per_batch,  # cotangent im
+            const2((n, n)),
+            const2((n, n)),
+            const2(twr.shape),
+            const2(twi.shape),
+            const2((base, base)),
+            const2((base, base)),
+        ],
+        out_specs=[rev_slice, per_batch, per_batch],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, n, n), rdt),
+            jax.ShapeDtypeStruct((b, n, n), rdt),
+            jax.ShapeDtypeStruct((b, n, n), rdt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, n, n), rdt),
+            pltpu.VMEM((b, n, n), rdt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_params(n).vmem_limit_bytes,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(
+        v_stack.astype(rdt), ssr, ssi, jnp.real(g), jnp.imag(g),
+        jnp.real(pl_c), jnp.imag(pl_c), twr, twi, fr, fi,
+    )
+    return dv, jax.lax.complex(dpr, dpi)
+
+
 def _run_forward_ck(psi_b, v_stack, propagator, sigma, precision, seg):
     """(B, n, n) forward with per-segment checkpoints; returns
     (psi_out c64, ck_re, ck_im) with ck of shape (B, S/seg, n, n)."""
@@ -337,6 +517,12 @@ def _scan_diff(psi_b, v_stack, propagator, sigma, precision, seg):
 
 
 def _fwd_ck(psi_b, v_stack, propagator, sigma, precision, seg):
+    if seg == 0:
+        # store-s mode: residual is the full post-transmit wave stack
+        out, ssr, ssi = _run_forward_store(
+            psi_b, v_stack, propagator, sigma, precision
+        )
+        return out, (ssr, ssi, v_stack, propagator)
     out, ckr, cki = _run_forward_ck(
         psi_b, v_stack, propagator, sigma, precision, seg
     )
@@ -344,10 +530,15 @@ def _fwd_ck(psi_b, v_stack, propagator, sigma, precision, seg):
 
 
 def _bwd_ck(sigma, precision, seg, res, g):
-    ckr, cki, v_stack, propagator = res
-    dv, dpsi = _run_backward(
-        ckr, cki, v_stack, propagator, g, sigma, precision, seg
-    )
+    ar, ai, v_stack, propagator = res
+    if seg == 0:
+        dv, dpsi = _run_backward_store(
+            ar, ai, v_stack, propagator, g, sigma, precision
+        )
+    else:
+        dv, dpsi = _run_backward(
+            ar, ai, v_stack, propagator, g, sigma, precision, seg
+        )
     return dpsi, dv.astype(v_stack.dtype), None
 
 
@@ -370,8 +561,17 @@ def scan_diff_apply(psi0, v_stack, propagator, sigma, precision, seg=None):
             "contexts (tilt series) go through vmap (pallas auto-batching)"
         )
     s = v_stack.shape[0]
-    seg = seg or pick_seg(s, n)
-    if s % seg != 0:
+    if seg is None:
+        # store-s (seg=0) is the fast backward: one adjoint pipeline per
+        # slice, zero recompute, residual = the (B, S, n, n) post-transmit
+        # wave stack.  Use it whenever that stack fits a modest HBM budget
+        # (the thing sqrt-S checkpointing exists to avoid); fall back to
+        # segment-recompute for long horizons.  seg=0/seg>0 can also be
+        # forced explicitly (tests pin both backward variants).
+        bb = 1 if psi0.ndim == 2 else psi0.shape[0]
+        store_bytes = bb * s * n * n * 8  # two f32 planes per slice
+        seg = 0 if (store_bytes <= _STORE_CAP_BYTES and n <= 512) else pick_seg(s, n)
+    if seg and s % seg != 0:
         raise ValueError(f"seg {seg} must divide nslices {s}")
     if psi0.ndim == 2:
         return _scan_diff(psi0[None], v_stack, propagator, sigma, precision, seg)[0]

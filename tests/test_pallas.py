@@ -565,6 +565,14 @@ def test_fscan_adjoint_grad_matches_xla(fields):
     _fscan_grad_case(fields, "fscan", nslices=8, seg=4, atol=2e-5)
 
 
+def test_fscan_adjoint_store_s_variant(fields):
+    """seg=0 forces the store-s backward (forward stores the
+    post-transmit wave every slice; backward runs one adjoint pipeline
+    per slice with zero recompute) — same gradients as xla autodiff."""
+    _fscan_grad_case(fields, "fscan", nslices=8, seg=0, atol=2e-5)
+    _fscan_grad_case(fields, "fscan", nslices=8, seg=0, atol=2e-5, batched=True)
+
+
 def test_fscan_adjoint_grad_single_segment(fields):
     """nseg == 1 edge: the whole loop is one checkpoint segment."""
     _fscan_grad_case(fields, "fscan", nslices=6, seg=6, atol=2e-5)
