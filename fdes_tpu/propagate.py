@@ -117,12 +117,13 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     (7.74 ms with remat_chunk=8) while every per-slice engine pays
     +28-34% recompute under remat (fused_fast 10.6, mxu 26.3).  On-chip
     grad accuracy: fscan 1.4e-5 (the mxu/radix class), fscan_fast 1.3e-4.
-    Config-3 end-to-end: fscan 86.8 / fscan_fast 131.5 recon-iters/s vs
-    the round-3 per-slice best 37.8.  Batched grad contexts (the ptycho
-    probe axis) keep the per-slice radix tiers — MEASURED, not assumed:
-    at 512²x64 b16 value_and_grad, radix_fast 70.1 ms / auto-batched
-    fscan_fast 74.7 / radix 98.8 / fscan 137.3 (the vmapped whole-loop
-    adjoint materialises per-lane dV in HBM and loses its edge).
+    Config-3 end-to-end: fscan 109.2 / fscan_fast 166.4 recon-iters/s vs
+    the round-3 per-slice best 37.8.  With the store-s backward
+    (adjoint_scan.py round-4 second pass) the vmapped whole-loop adjoint
+    also wins BATCHED grad contexts at 512²x64 b16: fscan_fast 51.2 ms /
+    radix_fast 70.1 / auto-batched segment-fscan_fast 74.7 / fscan 93.2 /
+    radix 98.8 — so grad promotion covers batch <= 16 (the measured
+    window; the radix/mxu tiers keep larger batches).
 
     Round-3 measured facts encoded here (512²x16 batch, 64 slices, post
     radix precision fix + concat-reassembly fix):
@@ -155,8 +156,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # 7.7/12.6 ms grad step) and 256² (fscan_fast 114.7k vs mxu_fast
     # 101.8k; fscan 74.5k vs mxu 62.1k; accuracy 7.4e-5 / 2.6e-6 and grad
     # 1.3e-4 / 1.1e-5 certified on chip).  Grad contexts promote only
-    # UNBATCHED (native-batch carry is VMEM-capped, and the vmapped
-    # adjoint MEASURED slower than radix at b16 — docstring numbers).
+    # batch <= 16 (the store-s vmapped adjoint's measured win window at
+    # 256²/512²; the per-slice radix/mxu tiers keep larger grad batches).
     # Round 4 extends FORWARD promotion to 1024² (in-kernel radix-8):
     # fscan 4.0k b1 / fscan_fast 5.5k b1, 8.8k b8 vs the prior best
     # xla 2.6k / mxu_fast 2.4k — the VMEM-resident loop removes the HBM
@@ -165,7 +166,7 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     fscan_ok = (
         ny == nx
         and (ny in (256, 512) or (ny == 1024 and not grad and batch <= 8))
-        and (not grad or batch <= 1)
+        and (not grad or batch <= 16)
     )
     # the radix tiers win only for BATCHED rollouts (the digit matmuls need
     # the batch to fill the MXU): at 512² unbatched radix is 3.4k vs mxu's

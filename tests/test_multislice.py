@@ -217,11 +217,16 @@ def test_make_slice_step_auto_tiers():
 
     import pytest
 
-    assert _resolve_auto("auto", (256, 256), True, 16) == "mxu"
-    assert _resolve_auto("auto", (512, 512), True, 16) == "radix"
+    # batched grad up to b16 rides the store-s whole-loop adjoint too
+    # (fscan_fast 51.2 ms vs radix_fast 70.1 at 512^2 x 64 b16); larger
+    # batches keep the per-slice tiers
+    assert _resolve_auto("auto", (256, 256), True, 16) == "fscan"
+    assert _resolve_auto("auto", (512, 512), True, 16) == "fscan"
+    assert _resolve_auto("auto", (512, 512), True, 32) == "mxu"
     assert _resolve_auto("auto", (2048, 2048), True, 16) == "xla"
-    assert _resolve_auto("auto_fast", (256, 256), True, 16) == "mxu_fast"
-    assert _resolve_auto("auto_fast", (512, 512), True, 16) == "radix_fast"
+    assert _resolve_auto("auto_fast", (256, 256), True, 16) == "fscan_fast"
+    assert _resolve_auto("auto_fast", (512, 512), True, 16) == "fscan_fast"
+    assert _resolve_auto("auto_fast", (512, 512), True, 32) == "mxu_fast"
     assert _resolve_auto("auto_fast", (1024, 1024), True, 16) == "mxu_fast"
     assert _resolve_auto("auto_fast", (2048, 2048), True, 16) == "xla"
     # forward-only contexts at the measured 256^2/512^2 shapes take the
