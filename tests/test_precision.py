@@ -70,3 +70,49 @@ def test_engine_dots_never_default_precision(kind, n, expect):
         assert all(x == expect for x in got), (
             f"{kind}@{n}: dot precision {got} != requested {expect}"
         )
+
+
+def _iter_dots_with_dtypes(jaxpr):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            yield (
+                eqn.params.get("precision"),
+                tuple(getattr(v.aval, "dtype", None) for v in eqn.invars),
+            )
+        for v in eqn.params.values():
+            for sub in _subjaxprs(v):
+                yield from _iter_dots_with_dtypes(sub)
+
+
+@pytest.mark.parametrize("seg", [0, 2])
+def test_whole_loop_adjoint_dots_never_default_precision(seg):
+    """Audit the fscan forward AND backward kernels (both store-s and
+    segment-recompute variants) for the round-3 bug class: an f32 dot at
+    DEFAULT precision inside a Pallas kernel is invisible to CPU value
+    tests and costs three digits on hardware.  Bare-bf16 dots (the
+    hand-rolled Karatsuba fast tiers) are exempt — single-pass bf16 IS
+    their contract."""
+    import numpy as np
+
+    from fdes_tpu.pallas.adjoint_scan import scan_diff_apply
+
+    n = 128
+    psi = jnp.zeros((n, n), jnp.complex64)
+    v = jnp.zeros((4, n, n), jnp.float32)
+    prop = jnp.ones((n, n), jnp.complex64)
+
+    def loss(vv):
+        out = scan_diff_apply(psi, vv, prop, 0.01, None, seg=seg)
+        return jnp.sum(jnp.real(out) ** 2)
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss))(v)
+    dots = list(_iter_dots_with_dtypes(jaxpr.jaxpr))
+    assert dots, "no dot_general found in the adjoint path (kernel changed?)"
+    bad = []
+    for p, dtypes in dots:
+        if all(dt == np.dtype("bfloat16") for dt in dtypes if dt is not None):
+            continue
+        got = tuple(p if isinstance(p, (tuple, list)) else (p, p))
+        if any(x in (None, jax.lax.Precision.DEFAULT) for x in got):
+            bad.append((p, dtypes))
+    assert not bad, f"f32 dots at DEFAULT precision in adjoint kernels: {bad}"
