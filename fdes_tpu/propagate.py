@@ -159,14 +159,16 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # batch <= 16 (the store-s vmapped adjoint's measured win window at
     # 256²/512²; the per-slice radix/mxu tiers keep larger grad batches).
     # Round 4 extends FORWARD promotion to 1024² (in-kernel radix-8):
-    # fscan 4.0k b1 / fscan_fast 5.5k b1, 8.8k b8 vs the prior best
-    # xla 2.6k / mxu_fast 2.4k — the VMEM-resident loop removes the HBM
-    # traffic that bound this grid; measured at b1/b8, so batches > 8
-    # keep the previous winners until measured.
-    fscan_ok = (
-        ny == nx
-        and (ny in (256, 512) or (ny == 1024 and not grad and batch <= 8))
-        and (not grad or batch <= 16)
+    # fscan 4.0k b1, 5.1k b8/b16 / fscan_fast 5.5k b1, 8.8k b8, 9.1k b16
+    # vs the prior best xla 2.6k / mxu_fast 2.4k — the VMEM-resident loop
+    # removes the HBM traffic that bound this grid; measured through b16,
+    # larger batches keep the previous winners until measured.
+    fscan_ok = ny == nx and (
+        # forward: 256²/512² at every measured batch (wins through b64);
+        # 1024² through b16
+        (not grad and (ny in (256, 512) or (ny == 1024 and batch <= 16)))
+        # grad: 256²/512² through b16 (store-s adjoint win window)
+        or (grad and ny in (256, 512) and batch <= 16)
     )
     # the radix tiers win only for BATCHED rollouts (the digit matmuls need
     # the batch to fill the MXU): at 512² unbatched radix is 3.4k vs mxu's

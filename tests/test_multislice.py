@@ -249,8 +249,8 @@ def test_make_slice_step_auto_tiers():
     # batches (fscan 4.0k b1 / fscan_fast 8.8k b8 vs xla 2.6k / mxu_fast
     # 2.4k); >8 batches and grad contexts keep the previous winners
     assert _resolve_auto("auto", (1024, 1024), False, 1) == "fscan"
-    assert _resolve_auto("auto_fast", (1024, 1024), False, 8) == "fscan_fast"
-    assert _resolve_auto("auto_fast", (1024, 1024), False, 16) == "mxu_fast"
+    assert _resolve_auto("auto_fast", (1024, 1024), False, 16) == "fscan_fast"
+    assert _resolve_auto("auto_fast", (1024, 1024), False, 32) == "mxu_fast"
     # 1024^2 unbatched grad: per-slice fused adjoint beats the FFT
     # (47.5 vs 53.4 ms value_and_grad; whole-loop bwd exceeds VMEM there)
     assert _resolve_auto("auto", (1024, 1024), True, 1) == "fused"
