@@ -693,3 +693,29 @@ def test_fscan_1024_radix8(fields):
     np.testing.assert_allclose(
         np.asarray(gf), np.asarray(gx), atol=2e-5 * gscale
     )
+
+
+def test_fscan_adjoint_tilt_series_grad(fields):
+    """Inverse tilt tomography shape: grad wrt the shared V THROUGH a
+    vmap over (wave, per-tilt propagator) — pallas auto-batching of the
+    store-s adjoint with a batched propagator operand."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    v_stack = jnp.stack([v, -0.4 * v, 0.8 * v])
+    props = jnp.stack([prop, prop * jnp.exp(0.01j), prop * jnp.exp(-0.02j)])
+    psi_b = jnp.stack([psi, 1j * psi, psi.conj()])
+    step = make_slice_step("fscan", shape=psi.shape, dtype=psi.dtype, grad=True)
+
+    def loss(vv, s):
+        out = jax.vmap(
+            lambda p0, pr: multislice(p0, vv, pr, sigma, slice_step=s)
+        )(psi_b, props)
+        return jnp.sum(jnp.abs(out) ** 2 * jnp.real(out))
+
+    lf, gf = jax.value_and_grad(lambda vv: loss(vv, step))(v_stack)
+    lx, gx = jax.value_and_grad(lambda vv: loss(vv, None))(v_stack)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(gx)))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=2e-5 * scale)
