@@ -639,7 +639,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"invert: {res.iterations} iters, final loss "
                     f"{res.losses[-1]:.6g}, "
-                    f"{len(res.losses) / max(res.wall_s, 1e-9):.2f} it/s"
+                    f"{len(res.losses) / max(res.wall_s, 1e-9):.2f} it/s "
+                    f"wall ({1.0 / max(res.median_step_s, 1e-9):.1f} it/s "
+                    "steady-state)"
                 )
             else:
                 print("invert: checkpoint already at target iterations; "

@@ -44,6 +44,11 @@ class ReconResult:
     losses: np.ndarray
     iterations: int
     wall_s: float
+    #: median fetch-closed per-step wall (s) — the steady-state rate;
+    #: ``wall_s`` additionally carries one-time costs (compile, final
+    #: checkpoint/result transfers), which dominate short runs on
+    #: tunneled TPU runtimes
+    median_step_s: float = 0.0
 
 
 def make_optimizer(
@@ -135,6 +140,7 @@ def reconstruct(
     checkpoint_every: int = 50,
     resume: bool = False,
     metrics_path: str | None = None,
+    metrics_every: int = 16,
     callback: Callable[[int, float, jax.Array], None] | None = None,
     v_sharding: jax.sharding.Sharding | None = None,
     project: Callable[[jax.Array], jax.Array] | None = None,
@@ -227,26 +233,54 @@ def reconstruct(
     losses: list[float] = []
     v = v0
     t0 = time.time()
-    try:
-        for it in range(start, iterations):
-            ts = time.time()
-            v, opt_state, loss, gnorm = step(v, opt_state, *loss_args)
-            # Host fetch of two scalars per iteration (same values the
-            # reference printed); arrays stay on device.  fetch_scalar is
-            # the watchdog readback — a bare float() can block forever on
-            # a half-up TPU tunnel (fdes_tpu/tunnel.py).
-            loss_f = fetch_scalar(loss)
+    # Metric scalars are fetched in CHUNKS of ``metrics_every``, not per
+    # iteration: on a tunneled TPU runtime every device->host readback is
+    # a ~hundreds-of-ms round trip, and the per-iteration fetch made the
+    # product CLI invert run at 2 it/s while the same step benchmarked at
+    # 109 (round-4 measurement).  The per-iteration VALUES are all still
+    # recorded — they just travel batched; callbacks fire at flush time.
+    pending: list[tuple[int, jax.Array, jax.Array, float]] = []
+
+    # jitted stacker: EAGER jnp.stack of device scalars is one tunnel
+    # round trip PER OP — the very cost this chunking removes
+    stack_fn = jax.jit(lambda vals: jnp.stack(vals))
+    chunk_t0 = time.time()
+    step_walls: list[float] = []
+
+    def flush():
+        nonlocal chunk_t0
+        if not pending:
+            return
+        flat = [x for _, l, g in pending for x in (l, g)]
+        stacked = np.asarray(fetch_array(stack_fn(flat))).reshape(-1, 2)
+        # per-step wall is the fetch-closed chunk wall amortised over the
+        # chunk (dispatch is async — a per-dispatch clock reads ~40 µs
+        # regardless of the device time)
+        dt = (time.time() - chunk_t0) / len(pending)
+        step_walls.append(dt)
+        for (it, _, _), (lf, gn) in zip(pending, stacked):
+            loss_f = float(lf)
             losses.append(loss_f)
             metrics.write(
-                iter=it,
-                loss=loss_f,
-                grad_norm=fetch_scalar(gnorm),
-                step_s=time.time() - ts,
+                iter=it, loss=loss_f, grad_norm=float(gn), step_s=dt
             )
             if callback is not None:
                 callback(it, loss_f, v)
+        pending.clear()
+        chunk_t0 = time.time()
+
+    try:
+        for it in range(start, iterations):
+            v, opt_state, loss, gnorm = step(v, opt_state, *loss_args)
+            pending.append((it, loss, gnorm))
+            if len(pending) >= max(metrics_every, 1):
+                # the chunked fetch doubles as the watchdog readback — a
+                # bare float() can block forever on a half-up tunnel
+                flush()
             if checkpoint_path and (it + 1) % checkpoint_every == 0:
+                flush()  # metrics/callbacks precede their checkpoint
                 save_checkpoint(checkpoint_path, v, opt_state, it + 1)
+        flush()
     finally:
         metrics.close()
     if checkpoint_path:
@@ -256,4 +290,10 @@ def reconstruct(
         losses=np.asarray(losses),
         iterations=iterations,
         wall_s=time.time() - t0,
+        # drop the first chunk (it carries the compile barrier)
+        median_step_s=float(
+            np.median(step_walls[1:] if len(step_walls) > 1 else step_walls)
+        )
+        if step_walls
+        else 0.0,
     )
