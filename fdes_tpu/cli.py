@@ -191,6 +191,17 @@ def main(argv: list[str] | None = None) -> int:
             ]
         return stacks
 
+    def phonon_mean(fn, stacks):
+        """Configurational average of fn(V) as ONE vmapped dispatch: the
+        whole-loop engines map batched potentials onto their kernel batch
+        grid axis (fused_scan custom_vmap), so C frozen-phonon configs are
+        a single launch instead of C separate jit calls."""
+        import jax.numpy as jnp
+
+        if len(stacks) == 1:
+            return fn(stacks[0])
+        return jnp.mean(jax.vmap(fn)(jnp.stack(stacks)), axis=0)
+
     if cfg.mode == "forward" and cfg.sim.streamed:
         # Pod-memory forward (BASELINE.md pod-memory row): potential built
         # per slice inside the scan; the (S, ny, nx) stack never exists.
@@ -312,22 +323,22 @@ def main(argv: list[str] | None = None) -> int:
 
         stacks = phonon_stacks()
         if sim.psi0_stack is not None:
-            imgs = sum(
-                hrtem_tilt_series(
+            imgs = phonon_mean(
+                lambda v: hrtem_tilt_series(
                     v, sim.psi0_stack, sim.prop_stack, sim.sigma,
                     sim.ctf_stack[0], weights=sim.ctf_weights,
                     slice_step=slice_step,
-                )
-                for v in stacks
-            ) / len(stacks)
+                ),
+                stacks,
+            )
         else:
-            imgs = sum(
-                hrtem_defocus_series(
+            imgs = phonon_mean(
+                lambda v: hrtem_defocus_series(
                     v, sim.psi0, sim.propagator, sim.sigma, sim.ctf_stack,
                     weights=sim.ctf_weights, slice_step=slice_step,
-                )
-                for v in stacks
-            ) / len(stacks)
+                ),
+                stacks,
+            )
         det = cfg.detector
         if det.mtf_sigma_px > 0:
             import jax.numpy as jnp
@@ -355,18 +366,18 @@ def main(argv: list[str] | None = None) -> int:
             from .prism import prism_raster_4d
 
             plan = prism_setup(sim)
-            cbed = sum(
-                prism_raster_4d(
+            cbed = phonon_mean(
+                lambda v: prism_raster_4d(
                     prism_smat(plan, v),
                     plan,
                     positions,
                     probe_chunk=probe_chunk,
-                )
-                for v in stacks
-            ) / len(stacks)
+                ),
+                stacks,
+            )
         else:
-            cbed = sum(
-                stem_raster_4d(
+            cbed = phonon_mean(
+                lambda v: stem_raster_4d(
                     v,
                     stencil,
                     qy,
@@ -376,9 +387,9 @@ def main(argv: list[str] | None = None) -> int:
                     sim.sigma,
                     probe_chunk=probe_chunk,
                     slice_step=slice_step,
-                )
-                for v in stacks
-            ) / len(stacks)
+                ),
+                stacks,
+            )
         io.write_npy(
             out("cbed.npy"),
             np.asarray(cbed).reshape(
@@ -396,19 +407,19 @@ def main(argv: list[str] | None = None) -> int:
             from .prism import prism_raster
 
             plan = prism_setup(sim)
-            sig = sum(
-                prism_raster(
+            sig = phonon_mean(
+                lambda v: prism_raster(
                     prism_smat(plan, v),
                     plan,
                     positions,
                     masks,
                     probe_chunk=probe_chunk,
-                )
-                for v in stacks
-            ) / len(stacks)
+                ),
+                stacks,
+            )
         else:
-            sig = sum(
-                stem_raster(
+            sig = phonon_mean(
+                lambda v: stem_raster(
                     v,
                     stencil,
                     qy,
@@ -419,16 +430,16 @@ def main(argv: list[str] | None = None) -> int:
                     masks,
                     probe_chunk=probe_chunk,
                     slice_step=slice_step,
-                )
-                for v in stacks
-            ) / len(stacks)
+                ),
+                stacks,
+            )
         raster = np.asarray(sig).reshape(-1, cfg.stem.scan_ny, cfg.stem.scan_nx)
         io.write_npy(out("stem.npy"), raster)
         if cfg.stem.compute_com:
             from .forward import stem_com_raster
 
-            com = sum(
-                stem_com_raster(
+            com = phonon_mean(
+                lambda v: stem_com_raster(
                     v,
                     stencil,
                     qy,
@@ -438,9 +449,9 @@ def main(argv: list[str] | None = None) -> int:
                     sim.sigma,
                     probe_chunk=probe_chunk,
                     slice_step=slice_step,
-                )
-                for v in stacks
-            ) / len(stacks)
+                ),
+                stacks,
+            )
             io.write_npy(
                 out("stem_com.npy"),
                 np.asarray(com).reshape(cfg.stem.scan_ny, cfg.stem.scan_nx, 2),
