@@ -71,8 +71,10 @@ from .fused_step import (
 #: the 120 MiB scoped-VMEM cap (measured Mosaic overflow, r4 campaign)
 _SEG_CAP = {128: 16, 256: 16, 512: 8, 1024: 1}
 #: max native wave batch per grid size: the backward carries bar_psi for
-#: every batch element in persistent scratch (2B planes).
+#: every batch element in persistent scratch (2B planes).  The store-s
+#: backward has no recompute scratch, so its cap is looser at 512².
 _BATCH_CAP = {128: 64, 256: 32, 512: 4, 1024: 1}
+_BATCH_CAP_STORE = {128: 64, 256: 32, 512: 16, 1024: 1}
 #: store-s residual budget: above this the adjoint switches from the
 #: store-every-slice backward to segment-checkpointed recompute
 _STORE_CAP_BYTES = 2 * 1024 ** 3
@@ -575,7 +577,7 @@ def scan_diff_apply(psi0, v_stack, propagator, sigma, precision, seg=None):
         raise ValueError(f"seg {seg} must divide nslices {s}")
     if psi0.ndim == 2:
         return _scan_diff(psi0[None], v_stack, propagator, sigma, precision, seg)[0]
-    cap = _BATCH_CAP[n]
+    cap = (_BATCH_CAP_STORE if seg == 0 else _BATCH_CAP)[n]
     if psi0.shape[0] > cap:
         raise ValueError(
             f"fscan grad batch {psi0.shape[0]} exceeds the {cap}-wave VMEM "
