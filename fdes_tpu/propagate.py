@@ -167,8 +167,10 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         # forward: 256²/512² at every measured batch (wins through b64);
         # 1024² through b16
         (not grad and (ny in (256, 512) or (ny == 1024 and batch <= 16)))
-        # grad: 256²/512² through b16 (store-s adjoint win window)
-        or (grad and ny in (256, 512) and batch <= 16)
+        # grad: 256²/512² at every measured batch — the store-s adjoint
+        # wins b1 through b64 (b64: fscan_fast 198 ms vs mxu_fast 576;
+        # fscan 366 vs mxu 940)
+        or (grad and ny in (256, 512))
     )
     # the radix tiers win only for BATCHED rollouts (the digit matmuls need
     # the batch to fill the MXU): at 512² unbatched radix is 3.4k vs mxu's

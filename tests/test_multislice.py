@@ -222,11 +222,10 @@ def test_make_slice_step_auto_tiers():
     # batches keep the per-slice tiers
     assert _resolve_auto("auto", (256, 256), True, 16) == "fscan"
     assert _resolve_auto("auto", (512, 512), True, 16) == "fscan"
-    assert _resolve_auto("auto", (512, 512), True, 32) == "mxu"
+    assert _resolve_auto("auto", (512, 512), True, 64) == "fscan"
     assert _resolve_auto("auto", (2048, 2048), True, 16) == "xla"
     assert _resolve_auto("auto_fast", (256, 256), True, 16) == "fscan_fast"
-    assert _resolve_auto("auto_fast", (512, 512), True, 16) == "fscan_fast"
-    assert _resolve_auto("auto_fast", (512, 512), True, 32) == "mxu_fast"
+    assert _resolve_auto("auto_fast", (512, 512), True, 64) == "fscan_fast"
     assert _resolve_auto("auto_fast", (1024, 1024), True, 16) == "mxu_fast"
     assert _resolve_auto("auto_fast", (2048, 2048), True, 16) == "xla"
     # forward-only contexts at the measured 256^2/512^2 shapes take the
