@@ -58,6 +58,12 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Aberrations",
+    "chi_device",
+    "ctf_device",
+    "default_params",
+    "fit_instrument",
+    "hrtem_series_device",
+    "joint_refine",
     "Config",
     "Grid",
     "ScatteringTable",
