@@ -251,44 +251,62 @@ def _bwd_store_kernel(
     v_ref, ssr_ref, ssi_ref, gr_ref, gi_ref, plr_ref, pli_ref,
     twr_ref, twi_ref, fr_ref, fi_ref,
     dvr_ref, dpr_ref, dpi_ref,
-    cr_ref, ci_ref,
-    *, sigma, radix, precision, nslices,
+    *sk,
+    sigma, radix, precision, nslices,
 ):
     """Store-s backward: grid (S, B) with slices last-to-first, batch
-    innermost; one adjoint pipeline per step, s_j streamed from HBM."""
+    innermost; one adjoint pipeline per step, s_j streamed from HBM.
+
+    Conjugate convention (VMEM-temp elimination): gi arrives PRE-NEGATED
+    (-Im g), pli PRE-NEGATED (-Im P_l), the carry holds conj(bar_psi),
+    and the dpi output is -Im(bar_psi0) — the driver flips it back.
+
+    With scratch refs (B > 1) the carry lives per batch element in
+    persistent scratch; WITHOUT them (B == 1, the 1024^2 case) the carry
+    lives in the dp OUTPUT block itself (index-constant -> VMEM-resident,
+    the same out-block-carry pattern the forward kernel uses) — saving
+    the 2-plane scratch that put 1024^2 424 KB over physical VMEM."""
     i = pl.program_id(0)
     b = pl.program_id(1)
     consts = (radix, twr_ref[:], twi_ref[:], fr_ref[:], fi_ref[:])
+    if sk:
+        cr_ref, ci_ref = sk
+        idx = b
+    else:
+        cr_ref, ci_ref = dpr_ref, dpi_ref
+        idx = 0
 
     @pl.when(i == 0)
     def _init_carry():
-        cr_ref[b] = gr_ref[0]
-        ci_ref[b] = gi_ref[0]
+        cr_ref[idx] = gr_ref[0]
+        ci_ref[idx] = gi_ref[0]
 
     @pl.when(b == 0)
     def _zero_dv():
         dvr_ref[:] = jnp.zeros(dvr_ref.shape, dvr_ref.dtype)
 
-    br = cr_ref[b]
-    bi = ci_ref[b]
-    ur, ui = _pipeline(br, -bi, plr_ref[:], -pli_ref[:], consts, precision)
+    br = cr_ref[idx]
+    nbi = ci_ref[idx]  # = -bar_i
+    ur, ui = _pipeline(br, nbi, plr_ref[:], pli_ref[:], consts, precision)
     bsr = ur
-    bsi = -ui
+    nbsi = ui  # = -bar_s_i
     # bar_V = -sigma * Im(bar_s * s)  (s = t*psi, stored by the forward)
     sr = ssr_ref[0, 0]
     si = ssi_ref[0, 0]
-    dvr_ref[0] += -sigma * (bsr * si + bsi * sr)
-    # bar_psi = t * bar_s
+    dvr_ref[0] += sigma * (nbsi * sr - bsr * si)
+    # bar_psi = t * bar_s  (stored conjugated: (re, -im))
     phase = sigma * v_ref[0]
     c = jnp.cos(phase)
     sn = jnp.sin(phase)
-    cr_ref[b] = bsr * c - bsi * sn
-    ci_ref[b] = bsr * sn + bsi * c
+    cr_ref[idx] = bsr * c + nbsi * sn
+    ci_ref[idx] = nbsi * c - bsr * sn
 
-    @pl.when(i == nslices - 1)
-    def _final():
-        dpr_ref[0] = cr_ref[b]
-        dpi_ref[0] = ci_ref[b]
+    if sk:
+
+        @pl.when(i == nslices - 1)
+        def _final():
+            dpr_ref[0] = cr_ref[b]
+            dpi_ref[0] = ci_ref[b]
 
 
 def _run_forward_store(psi_b, v_stack, propagator, sigma, precision):
@@ -351,7 +369,7 @@ def _run_backward_store(ssr, ssi, v_stack, propagator, g, sigma, precision):
     rev_s = pl.BlockSpec((1, 1, n, n), lambda i, bi: (bi, s - 1 - i, 0, 0))
     per_batch = pl.BlockSpec((1, n, n), lambda i, bi: (bi, 0, 0))
     base = 128
-    dv, dpr, dpi = pl.pallas_call(
+    dv, dpr, dpi_neg = pl.pallas_call(
         functools.partial(
             _bwd_store_kernel, sigma=rdt.type(sigma), radix=r,
             precision=precision, nslices=s,
@@ -376,20 +394,33 @@ def _run_backward_store(ssr, ssi, v_stack, propagator, g, sigma, precision):
             jax.ShapeDtypeStruct((b, n, n), rdt),
             jax.ShapeDtypeStruct((b, n, n), rdt),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((b, n, n), rdt),
-            pltpu.VMEM((b, n, n), rdt),
-        ],
+        scratch_shapes=(
+            # B == 1: the dp output block IS the carry (kernel docstring)
+            []
+            if b == 1
+            else [
+                pltpu.VMEM((b, n, n), rdt),
+                pltpu.VMEM((b, n, n), rdt),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_params(n).vmem_limit_bytes,
+            # 1024^2 measured 120.57 MiB scoped — just over the generic
+            # 120 cap; the physical 127 admits it
+            vmem_limit_bytes=(
+                127 * 1024 * 1024 if n >= 1024 else _params(n).vmem_limit_bytes
+            ),
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interp,
     )(
-        v_stack.astype(rdt), ssr, ssi, jnp.real(g), jnp.imag(g),
-        jnp.real(pl_c), jnp.imag(pl_c), twr, twi, fr, fi,
+        # conjugate convention (kernel docstring): -Im g and -Im P_l go
+        # in, -Im bar_psi0 comes out — all negations live OUTSIDE the
+        # kernel, where XLA fuses them into the split/merge ops instead
+        # of burning VMEM temps per grid step
+        v_stack.astype(rdt), ssr, ssi, jnp.real(g), -jnp.imag(g),
+        jnp.real(pl_c), -jnp.imag(pl_c), twr, twi, fr, fi,
     )
-    return dv, jax.lax.complex(dpr, dpi)
+    return dv, jax.lax.complex(dpr, -dpi_neg)
 
 
 def _run_forward_ck(psi_b, v_stack, propagator, sigma, precision, seg):
@@ -572,7 +603,14 @@ def scan_diff_apply(psi0, v_stack, propagator, sigma, precision, seg=None):
         # forced explicitly (tests pin both backward variants).
         bb = 1 if psi0.ndim == 2 else psi0.shape[0]
         store_bytes = bb * s * n * n * 8  # two f32 planes per slice
-        seg = 0 if (store_bytes <= _STORE_CAP_BYTES and n <= 512) else pick_seg(s, n)
+        seg = 0 if store_bytes <= _STORE_CAP_BYTES else pick_seg(s, n)
+    if seg and n >= 1024:
+        raise ValueError(
+            "the segment-recompute backward exceeds 1024^2 VMEM (adjoint "
+            "floor note); at that grid only the store-s variant (seg=0) "
+            "runs — shrink the horizon/batch under the store budget or "
+            "use a per-slice engine"
+        )
     if seg and s % seg != 0:
         raise ValueError(f"seg {seg} must divide nslices {s}")
     if psi0.ndim == 2:

@@ -235,28 +235,29 @@ def make_fused_scan(
         sigma = float(sigma)  # static: traced sigma is not supported here
         if grad:
             if ny >= 1024:
-                # The whole-loop BACKWARD does not fit 1024^2 VMEM: its
-                # block set (carry + checkpoint + cotangent + dV + V +
-                # permuted P, ~64 MiB at B=1) plus the radix-8 adjoint
-                # pipeline transients exceeds the 127 MiB physical cap
-                # (measured Mosaic scoped-allocation overflow, r4
-                # campaign, even with seg=1 and no recompute scratch).
-                # Grad contexts at pod grids take the per-slice fused
-                # adjoint instead — same arithmetic class, composes with
-                # lax.scan + remat; the whole-loop FORWARD still wins
-                # 1024^2 (4.0k/5.5k vs xla 2.6k unbatched on v5e).
-                from .fused_step import make_fused_slice_step
+                # At 1024^2 only the STORE-S backward fits VMEM (the
+                # segment-recompute variant overflows even with seg=1 —
+                # adjoint_scan.py floor note; the store variant fits via
+                # the out-block carry, measured 29.7 ms v&g vs 47.5
+                # per-slice at 64 slices b1).  When the stored s-stack
+                # exceeds its HBM budget, fall back to the per-slice
+                # fused adjoint (composes with lax.scan + remat).
+                from .adjoint_scan import _STORE_CAP_BYTES
 
-                step = make_fused_slice_step(ny, nx, dtype, precision)
+                bb = 1 if psi0.ndim == 2 else psi0.shape[0]
+                if bb * v_stack.shape[0] * ny * nx * 8 > _STORE_CAP_BYTES:
+                    from .fused_step import make_fused_slice_step
 
-                def body(psi, v):
-                    return step(psi, v, propagator, sigma), None
+                    step = make_fused_slice_step(ny, nx, dtype, precision)
 
-                if psi0.ndim == 3:
-                    return jax.vmap(
-                        lambda p: jax.lax.scan(body, p, v_stack)[0]
-                    )(psi0)
-                return jax.lax.scan(body, psi0, v_stack)[0]
+                    def body(psi, v):
+                        return step(psi, v, propagator, sigma), None
+
+                    if psi0.ndim == 3:
+                        return jax.vmap(
+                            lambda p: jax.lax.scan(body, p, v_stack)[0]
+                        )(psi0)
+                    return jax.lax.scan(body, psi0, v_stack)[0]
             from .adjoint_scan import scan_diff_apply
 
             return scan_diff_apply(psi0, v_stack, propagator, sigma, precision)

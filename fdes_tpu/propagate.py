@@ -182,11 +182,11 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         and radix_plan(ny) is not None
         and radix_plan(nx) is not None
     )
-    # 1024² UNBATCHED grad: the per-slice fused adjoint beats the FFT
-    # (value_and_grad 47.5 ms vs xla 53.4 ms at 64 slices; grad 9.3e-6
-    # certified on chip) — the whole-loop backward does not fit that
-    # grid's VMEM (adjoint_scan.py floor note)
-    fused1024_grad = max(shape) == 1024 and ny == nx and grad and batch <= 1
+    # 1024² UNBATCHED grad: the STORE-S whole-loop backward fits via the
+    # out-block carry and wins — 29.7 ms v&g at 64 slices b1 vs the
+    # per-slice fused adjoint's 47.5 and xla's 53.4 (the segment variant
+    # still exceeds that grid's VMEM; whole_scan self-routes by horizon)
+    fscan1024_grad = max(shape) == 1024 and ny == nx and grad and batch <= 1
     if kind == "auto":
         if fscan_ok:
             # fastest accuracy tier at EVERY measured batch (512²: 11.1k
@@ -196,8 +196,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
             return "mxu"
         if radix_ok and max(shape) <= 512:
             return "radix"
-        if fused1024_grad:
-            return "fused"
+        if fscan1024_grad:
+            return "fscan"
         return "mxu" if max(shape) <= 512 else "xla"
     if fscan_ok:
         return "fscan_fast"  # 13.7k/37.9k/41.4k at b1/b16/b64, 7.5e-5
@@ -205,8 +205,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         return "mxu_fast"
     if radix_ok and max(shape) <= 512:
         return "radix_fast"
-    if fused1024_grad:
-        return "fused_fast"
+    if fscan1024_grad:
+        return "fscan_fast"
     return "mxu_fast" if max(shape) <= 1024 else "xla"
 
 
@@ -271,7 +271,13 @@ def make_slice_step(
             # engines there (xla above the mxu engines' win region);
             # explicit fscan selection still works
             if max(shape) >= 1024:
-                kind = "mxu_fast" if kind == "fscan_fast" else "xla"
+                # grad at 1024² off-TPU: dense 1024-point matmul DFTs are
+                # pathological on CPUs too — take the jnp FFT path
+                kind = (
+                    "xla"
+                    if (grad or kind != "fscan_fast")
+                    else "mxu_fast"
+                )
             else:
                 kind = "mxu_fast" if kind == "fscan_fast" else "mxu"
         if kind in ("fused", "fused_fast") and jax.default_backend() not in (
@@ -354,17 +360,11 @@ def make_slice_step(
             "fscan_fast": "bf16x3",  # ~7.5e-5 exit err class
             "fscan_draft": "bf16x1",  # single-pass bf16: ~mxu_fast class
         }.get(kind, jax.lax.Precision.HIGHEST)
-        if grad and max(shape) >= 1024:
-            # the whole-loop BACKWARD exceeds 1024^2 VMEM (fused_scan.py
-            # fallback note); returning the per-slice fused step here
-            # keeps remat_chunk composing normally for pod-grid inverses
-            from .pallas.fused_step import make_fused_slice_step
-
-            return make_fused_slice_step(
-                *shape, dtype=dtype or jnp.complex64, precision=precision
-            )
         # grad=True routes through the whole-loop custom VJP
-        # (pallas/adjoint_scan.py): segment-checkpointed in-kernel adjoint
+        # (pallas/adjoint_scan.py): store-s or segment-checkpointed
+        # in-kernel adjoint, with whole_scan falling back to the
+        # per-slice fused adjoint where neither fits (1024^2 long
+        # horizons — fused_scan.py routing note)
         return make_fused_scan(
             *shape, dtype=dtype or jnp.complex64, precision=precision,
             grad=grad,

@@ -250,10 +250,10 @@ def test_make_slice_step_auto_tiers():
     assert _resolve_auto("auto", (1024, 1024), False, 1) == "fscan"
     assert _resolve_auto("auto_fast", (1024, 1024), False, 16) == "fscan_fast"
     assert _resolve_auto("auto_fast", (1024, 1024), False, 32) == "mxu_fast"
-    # 1024^2 unbatched grad: per-slice fused adjoint beats the FFT
-    # (47.5 vs 53.4 ms value_and_grad; whole-loop bwd exceeds VMEM there)
-    assert _resolve_auto("auto", (1024, 1024), True, 1) == "fused"
-    assert _resolve_auto("auto_fast", (1024, 1024), True, 1) == "fused_fast"
+    # 1024^2 unbatched grad: the store-s whole-loop backward fits via
+    # the out-block carry and wins (29.7 vs 47.5 fused / 53.4 xla ms)
+    assert _resolve_auto("auto", (1024, 1024), True, 1) == "fscan"
+    assert _resolve_auto("auto_fast", (1024, 1024), True, 1) == "fscan_fast"
     assert _resolve_auto("auto", (2048, 2048), True, 1) == "xla"
     # non-128*2^m axes cannot take the radix engines: fall back, never crash
     assert _resolve_auto("auto", (384, 384), True, 16) == "mxu"
