@@ -182,11 +182,16 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         and radix_plan(ny) is not None
         and radix_plan(nx) is not None
     )
-    # 1024² UNBATCHED grad: the STORE-S whole-loop backward fits via the
-    # out-block carry and wins — 29.7 ms v&g at 64 slices b1 vs the
-    # per-slice fused adjoint's 47.5 and xla's 53.4 (the segment variant
-    # still exceeds that grid's VMEM; whole_scan self-routes by horizon)
-    fscan1024_grad = max(shape) == 1024 and ny == nx and grad and batch <= 1
+    # 1024² grad: the STORE-S whole-loop backward fits via the out-block
+    # carry and wins — b1: fscan 28.3 / fscan_fast 17.6 ms v&g vs
+    # per-slice fused 47.5 and xla 53.4; b8 vmapped: fscan_fast 117 ms vs
+    # xla 417 (3.6×), but the HIGHEST variant's extra f32-dot register
+    # spills overflow VMEM batched (measured +5.2M), so the accuracy tier
+    # promotes unbatched only.  (The segment variant never fits 1024²;
+    # whole_scan self-routes by horizon.)
+    is1024 = max(shape) == 1024 and ny == nx and grad
+    fscan1024_grad = is1024 and batch <= 1
+    fscan1024_grad_fast = is1024 and batch <= 8
     if kind == "auto":
         if fscan_ok:
             # fastest accuracy tier at EVERY measured batch (512²: 11.1k
@@ -205,7 +210,7 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         return "mxu_fast"
     if radix_ok and max(shape) <= 512:
         return "radix_fast"
-    if fscan1024_grad:
+    if fscan1024_grad_fast:
         return "fscan_fast"
     return "mxu_fast" if max(shape) <= 1024 else "xla"
 

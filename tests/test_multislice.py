@@ -254,6 +254,10 @@ def test_make_slice_step_auto_tiers():
     # the out-block carry and wins (29.7 vs 47.5 fused / 53.4 xla ms)
     assert _resolve_auto("auto", (1024, 1024), True, 1) == "fscan"
     assert _resolve_auto("auto_fast", (1024, 1024), True, 1) == "fscan_fast"
+    # batched grad at 1024^2: fast tier rides the vmapped store-s adjoint
+    # (117 vs xla 417 ms at b8); the HIGHEST variant VMEM-fails batched
+    assert _resolve_auto("auto_fast", (1024, 1024), True, 8) == "fscan_fast"
+    assert _resolve_auto("auto", (1024, 1024), True, 8) == "xla"
     assert _resolve_auto("auto", (2048, 2048), True, 1) == "xla"
     # non-128*2^m axes cannot take the radix engines: fall back, never crash
     assert _resolve_auto("auto", (384, 384), True, 16) == "mxu"
