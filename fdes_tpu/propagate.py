@@ -120,10 +120,13 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     Config-3 end-to-end: fscan 109.2 / fscan_fast 166.4 recon-iters/s vs
     the round-3 per-slice best 37.8.  With the store-s backward
     (adjoint_scan.py round-4 second pass) the vmapped whole-loop adjoint
-    also wins BATCHED grad contexts at 512²x64 b16: fscan_fast 51.2 ms /
-    radix_fast 70.1 / auto-batched segment-fscan_fast 74.7 / fscan 93.2 /
-    radix 98.8 — so grad promotion covers batch <= 16 (the measured
-    window; the radix/mxu tiers keep larger batches).
+    also wins BATCHED grad contexts at 512²x64 — b16: fscan_fast 51.2 ms
+    / radix_fast 70.1 / auto-batched segment-fscan_fast 74.7 / fscan
+    93.2 / radix 98.8; b64: fscan_fast 198 vs mxu_fast 576, fscan 366 vs
+    mxu 940 — so grad promotion at 256²/512² covers EVERY measured
+    batch.  At 1024² the store-s backward fits via the out-block carry:
+    b1 fscan 28.3 / fscan_fast 17.6 ms (vs per-slice fused 47.5, xla
+    53.4); b8 vmapped fscan_fast 117 vs xla 417.
 
     Round-3 measured facts encoded here (512²x16 batch, 64 slices, post
     radix precision fix + concat-reassembly fix):
@@ -155,9 +158,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # fscan promotion only at its MEASURED shapes: 512² (37.9k/21.6k fwd;
     # 7.7/12.6 ms grad step) and 256² (fscan_fast 114.7k vs mxu_fast
     # 101.8k; fscan 74.5k vs mxu 62.1k; accuracy 7.4e-5 / 2.6e-6 and grad
-    # 1.3e-4 / 1.1e-5 certified on chip).  Grad contexts promote only
-    # batch <= 16 (the store-s vmapped adjoint's measured win window at
-    # 256²/512²; the per-slice radix/mxu tiers keep larger grad batches).
+    # 1.3e-4 / 1.1e-5 certified on chip).  Grad contexts promote at
+    # every measured batch (store-s adjoint wins b1-b64 — docstring).
     # Round 4 extends FORWARD promotion to 1024² (in-kernel radix-8):
     # fscan 4.0k b1, 5.1k b8/b16 / fscan_fast 5.5k b1, 8.8k b8, 9.1k b16
     # vs the prior best xla 2.6k / mxu_fast 2.4k — the VMEM-resident loop
