@@ -162,13 +162,13 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # every measured batch (store-s adjoint wins b1-b64 — docstring).
     # Round 4 extends FORWARD promotion to 1024² (in-kernel radix-8):
     # fscan 4.0k b1, 5.1k b8/b16 / fscan_fast 5.5k b1, 8.8k b8, 9.1k b16
-    # vs the prior best xla 2.6k / mxu_fast 2.4k — the VMEM-resident loop
-    # removes the HBM traffic that bound this grid; measured through b16,
-    # larger batches keep the previous winners until measured.
+    # (b32: 9.26k) vs the prior best xla 2.6k / mxu_fast 2.4k — the
+    # VMEM-resident loop removes the HBM traffic that bound this grid;
+    # measured through b32, larger batches keep the previous winners.
     fscan_ok = ny == nx and (
         # forward: 256²/512² at every measured batch (wins through b64);
         # 1024² through b16
-        (not grad and (ny in (256, 512) or (ny == 1024 and batch <= 16)))
+        (not grad and (ny in (256, 512) or (ny == 1024 and batch <= 32)))
         # grad: 256²/512² at every measured batch — the store-s adjoint
         # wins b1 through b64 (b64: fscan_fast 198 ms vs mxu_fast 576;
         # fscan 366 vs mxu 940)

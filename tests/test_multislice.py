@@ -248,8 +248,8 @@ def test_make_slice_step_auto_tiers():
     # batches (fscan 4.0k b1 / fscan_fast 8.8k b8 vs xla 2.6k / mxu_fast
     # 2.4k); >8 batches and grad contexts keep the previous winners
     assert _resolve_auto("auto", (1024, 1024), False, 1) == "fscan"
-    assert _resolve_auto("auto_fast", (1024, 1024), False, 16) == "fscan_fast"
-    assert _resolve_auto("auto_fast", (1024, 1024), False, 32) == "mxu_fast"
+    assert _resolve_auto("auto_fast", (1024, 1024), False, 32) == "fscan_fast"
+    assert _resolve_auto("auto_fast", (1024, 1024), False, 64) == "mxu_fast"
     # 1024^2 unbatched grad: the store-s whole-loop backward fits via
     # the out-block carry and wins (29.7 vs 47.5 fused / 53.4 xla ms)
     assert _resolve_auto("auto", (1024, 1024), True, 1) == "fscan"
