@@ -24,8 +24,8 @@ import time
 import numpy as np
 
 
-def _previous_round_value() -> float | None:
-    best = None
+def _round_values() -> dict[int, float]:
+    vals: dict[int, float] = {}
     for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -41,12 +41,10 @@ def _previous_round_value() -> float | None:
         except (ValueError, KeyError, TypeError, json.JSONDecodeError, OSError):
             continue
         if val:
-            rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, val)
-    # None (vs_baseline reported as null) when no prior artifact parses —
+            vals[int(m.group(1))] = val
+    # Empty (vs_baseline reported as null) when no prior artifact parses —
     # a hardcoded fallback would silently go stale (ADVICE.md round 2)
-    return best[1] if best else None
+    return vals
 
 
 def main() -> int:
@@ -169,7 +167,10 @@ def _measure() -> int:
     dt = (time.time() - t0) / reps
 
     slice_props = nprobes * nslices / dt
-    prev = _previous_round_value()
+    rounds = _round_values()
+    prev_round = max(rounds) if rounds else None
+    prev = rounds.get(prev_round) if prev_round else None
+    first = rounds.get(min(rounds)) if rounds else None
     print(
         json.dumps(
             {
@@ -177,6 +178,11 @@ def _measure() -> int:
                 "value": round(slice_props, 2),
                 "unit": "slice-props/s/chip",
                 "vs_baseline": round(slice_props / prev, 3) if prev else None,
+                # VERDICT r4 weak 5: vs_baseline changed meaning in r4 (ratio
+                # vs the *previous round*, not round 1); state the source in
+                # the artifact so the BENCH_r*.json series self-documents.
+                "baseline_source": f"BENCH_r{prev_round:02d}.json" if prev else None,
+                "vs_round1": round(slice_props / first, 3) if first else None,
                 "engine": engine,
                 "config": f"{n}x{n}x{nslices}x{nprobes}probes",
             }

@@ -66,9 +66,12 @@ from .fused_step import (
 #: max checkpoint segment length per grid size: 2K psi planes live in
 #: scratch during the backward recompute (plus the K-plane V and dV
 #: blocks), bounded by the ~96 MiB scoped-VMEM budget at 512^2.
-#: 1024 runs seg=1 (checkpoint EVERY slice, no in-segment recompute): the
-#: 4 MiB planes put seg=2's recompute scratch + doubled V/dV blocks over
-#: the 120 MiB scoped-VMEM cap (measured Mosaic overflow, r4 campaign)
+#: The 1024 entry is DEAD for execution: the segment-recompute backward
+#: overflows VMEM at 1024^2 even with seg=1 (measured Mosaic overflow, r4
+#: campaign — block set + radix-8 adjoint spills), so scan_diff_apply
+#: rejects every seg>0 there and only the store-s backward (seg=0) runs;
+#: the entry exists so pick_seg stays total for the rejection path's
+#: error message (ADVICE.md round 4).
 _SEG_CAP = {128: 16, 256: 16, 512: 8, 1024: 1}
 #: max native wave batch per grid size: the backward carries bar_psi for
 #: every batch element in persistent scratch (2B planes).  The store-s
@@ -581,11 +584,20 @@ _scan_diff.defvjp(_fwd_ck, _bwd_ck)
 def scan_diff_apply(psi0, v_stack, propagator, sigma, precision, seg=None):
     """Grad-capable whole-loop entry: (n, n) or native (B, n, n) psi.
 
-    vmap over the wave is NOT supported here (the forward-only path keeps
-    its custom_vmap rule); batched GRAD contexts should pass a native
-    (B, n, n) psi or keep the per-slice engines (_resolve_auto only
-    promotes this engine for unbatched grad contexts until the batched
-    composition is measured)."""
+    Native batches larger than the per-grid VMEM carry cap are CHUNKED
+    internally — a sequential (unrolled) loop of capped kernel calls whose
+    dV contributions sum by autodiff linearity (VERDICT.md round-4 item 4:
+    orchestration belongs to the library, not the caller).  The store-s
+    HBM budget is decided on the FULL batch, because reverse-mode autodiff
+    keeps every chunk's residual alive until the backward runs.
+
+    Budget semantics under vmap (ADVICE.md round 4): when this function is
+    traced under ``jax.vmap`` (the forward.py probe axis), psi0 is a
+    per-lane (n, n) tracer, so the store budget sees bb=1 while the
+    batched kernel stores B× that — product paths stay safe because
+    ``pick_probe_chunk`` caps vmap lanes at 16 ≤ _BATCH_CAP_STORE[512]
+    and 1 at ≥1024², but direct vmap users with wide axes should prefer
+    the native (B, n, n) path, which both counts and chunks correctly."""
     n = psi0.shape[-1]
     if v_stack.ndim != 3 or propagator.ndim != 2:
         raise ValueError(
@@ -616,10 +628,15 @@ def scan_diff_apply(psi0, v_stack, propagator, sigma, precision, seg=None):
     if psi0.ndim == 2:
         return _scan_diff(psi0[None], v_stack, propagator, sigma, precision, seg)[0]
     cap = (_BATCH_CAP_STORE if seg == 0 else _BATCH_CAP)[n]
-    if psi0.shape[0] > cap:
-        raise ValueError(
-            f"fscan grad batch {psi0.shape[0]} exceeds the {cap}-wave VMEM "
-            f"carry budget at {n}^2; chunk the batch or use a per-slice "
-            "engine (propagate.make_slice_step with batch hint)"
-        )
-    return _scan_diff(psi0, v_stack, propagator, sigma, precision, seg)
+    b = psi0.shape[0]
+    if b <= cap:
+        return _scan_diff(psi0, v_stack, propagator, sigma, precision, seg)
+    # Auto-chunk: sequential capped kernel calls, unrolled at trace time
+    # (a handful of chunks; same-shape chunks reuse one compiled kernel).
+    # Differentiable as-is — each chunk's VJP contributes its own dV and
+    # JAX sums contributions to the shared v_stack/propagator operands.
+    outs = [
+        _scan_diff(psi0[i : i + cap], v_stack, propagator, sigma, precision, seg)
+        for i in range(0, b, cap)
+    ]
+    return jnp.concatenate(outs, axis=0)

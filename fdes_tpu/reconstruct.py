@@ -157,6 +157,14 @@ def reconstruct(
     potential positivity.  Runs INSIDE the jitted step.  The reference has
     no constraint support; positivity is the physically safe default for
     projected potentials of neutral atoms when the observed series is noisy.
+
+    callback contract: ``callback(it, loss, v)`` fires at metric FLUSH time
+    (every ``metrics_every`` iterations), and every call in a flushed chunk
+    receives the CURRENT v — the latest iterate, not the iterate of ``it``.
+    This is the price of the chunked-fetch design (per-iteration host syncs
+    cost ~0.45 s each on tunneled runtimes and capped the CLI invert at
+    2 it/s); callbacks needing v-at-iteration should set metrics_every=1
+    and pay the sync.
     """
     optimizer = optimizer or make_optimizer("adam", 1.0)
 
@@ -282,6 +290,16 @@ def reconstruct(
                 save_checkpoint(checkpoint_path, v, opt_state, it + 1)
         flush()
     finally:
+        # an exception mid-chunk must not silently drop the pending
+        # metrics/losses (ADVICE.md round 4): best-effort flush before
+        # close — swallowing its own failure so it cannot mask the
+        # original exception (on the success path the flush above already
+        # ran and propagates its errors normally)
+        if pending:
+            try:
+                flush()
+            except Exception:
+                pass
         metrics.close()
     if checkpoint_path:
         save_checkpoint(checkpoint_path, v, opt_state, iterations)

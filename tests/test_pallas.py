@@ -584,6 +584,21 @@ def test_fscan_adjoint_grad_batched(fields):
     _fscan_grad_case(fields, "fscan", nslices=8, seg=4, atol=2e-5, batched=True)
 
 
+def test_fscan_adjoint_autochunks_over_batch_cap(fields, monkeypatch):
+    """A native (B, n, n) grad batch past the VMEM carry cap no longer
+    raises: scan_diff_apply chunks it internally into capped sequential
+    kernel calls (VERDICT.md round-4 item 4).  Caps are patched down to 2
+    so the B=3 case exercises the chunk loop (2+1 split, uneven tail) on
+    both backward variants; gradients must match unchunked xla autodiff
+    including the cross-chunk dV sum."""
+    import fdes_tpu.pallas.adjoint_scan as adj
+
+    monkeypatch.setitem(adj._BATCH_CAP_STORE, 128, 2)
+    monkeypatch.setitem(adj._BATCH_CAP, 128, 2)
+    _fscan_grad_case(fields, "fscan", nslices=8, seg=0, atol=2e-5, batched=True)
+    _fscan_grad_case(fields, "fscan", nslices=8, seg=4, atol=2e-5, batched=True)
+
+
 def test_fscan_adjoint_grad_of_vmap(fields):
     """grad THROUGH vmap over the wave (the ptycho/stem4d inverse shape):
     pallas auto-batching of the custom-VJP kernels, dV summed over lanes
