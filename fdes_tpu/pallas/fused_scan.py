@@ -212,6 +212,12 @@ def make_fused_scan(
     """
     if ny != nx:
         raise ValueError(f"fused scan needs a square grid, got ({ny}, {nx})")
+    if ny > 1024:
+        raise ValueError(
+            "the whole-loop VMEM kernel cannot hold a 2048^2 plane set in "
+            "VMEM (BASELINE.md floor note) — use the panel-staged engine "
+            "('panel', pallas/panel_scan.py) or 'xla' there"
+        )
     _axis_consts(ny)  # validate size
 
     def whole_scan(psi0, v_stack, propagator, sigma):

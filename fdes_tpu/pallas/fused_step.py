@@ -58,11 +58,16 @@ BASE = 128
 
 @functools.lru_cache(maxsize=16)
 def _axis_consts(n: int):
-    """Host (R, twiddle_re, twiddle_im, F_re, F_im) for one axis."""
+    """Host (R, twiddle_re, twiddle_im, F_re, F_im) for one axis.
+
+    r=16 (N=2048) exists for the PANEL-staged engine (panel_scan.py),
+    whose per-panel transforms reuse this pipeline; the whole-plane
+    kernels (this file, fused_scan.py) cap at 1024 — their entry points
+    validate separately."""
     r = n // BASE
-    if n != r * BASE or r not in (1, 2, 4, 8):
+    if n != r * BASE or r not in (1, 2, 4, 8, 16):
         raise ValueError(
-            f"fused step supports N = {{128, 256, 512, 1024}}, got {n}"
+            f"mixed-radix axis supports N = 128*{{1,2,4,8,16}}, got {n}"
         )
     tw = np.exp(
         -2.0j * np.pi * np.arange(r)[:, None] * np.arange(BASE)[None, :] / n
@@ -90,29 +95,32 @@ def _butterfly(parts, r: int, sign: float):
     if r == 2:
         (ar, ai), (br, bi) = parts
         return [(ar + br, ai + bi), (ar - br, ai - bi)]
-    if r == 8:
-        # 8-point DFT = two 4-point DFTs (even/odd chunks) + W8 twiddle:
-        # X[q] = E[q%4] + W8^q O[q%4] with W8^q = cos(qπ/4) + sign·i·sin;
-        # W8^{q+4} = -W8^q handles the upper half automatically.
+    if r in (8, 16):
+        # Even/odd decimation: r-point DFT = two (r/2)-point DFTs + W_r
+        # twiddle: X[q] = E[q%h] + W_r^q O[q%h] with W_r^q = cos(2πq/r) +
+        # sign·i·sin(2πq/r); W_r^{q+h} = -W_r^q handles the upper half
+        # automatically.  Quarter-period q (W = ±1, ±sign·i) are exact
+        # add/swaps — no rounded cos/sin constants on those spokes.
         import math
 
-        e = _butterfly(parts[0::2], 4, sign)
-        o = _butterfly(parts[1::2], 4, sign)
+        h = r // 2
+        e = _butterfly(parts[0::2], h, sign)
+        o = _butterfly(parts[1::2], h, sign)
         out = []
-        for q in range(8):
-            er, ei = e[q % 4]
-            orr, oi = o[q % 4]
-            if q % 2 == 0:
-                # W8^{0,4} = ±1; W8^{2,6} = ±sign·i — adds only
-                if q % 4 == 0:
+        for q in range(r):
+            er, ei = e[q % h]
+            orr, oi = o[q % h]
+            if q % (r // 4) == 0:
+                quarter = q // (r // 4)  # W = 1, sign·i, -1, -sign·i
+                if quarter % 2 == 0:
                     tr, ti = orr, oi
                 else:
                     tr, ti = -sign * oi, sign * orr
-                if q >= 4:
+                if quarter >= 2:
                     tr, ti = -tr, -ti
             else:
-                c = math.cos(math.pi * q / 4.0)
-                s = sign * math.sin(math.pi * q / 4.0)
+                c = math.cos(2.0 * math.pi * q / r)
+                s = sign * math.sin(2.0 * math.pi * q / r)
                 tr = orr * c - oi * s
                 ti = orr * s + oi * c
             out.append((er + tr, ei + ti))
@@ -452,6 +460,12 @@ def make_fused_slice_step(ny: int, nx: int, dtype=jnp.complex64, precision=None)
     to the unfused Pallas path at call time."""
     if ny != nx:
         raise ValueError(f"fused step needs a square grid, got ({ny}, {nx})")
+    if ny > 1024:
+        raise ValueError(
+            "the whole-plane fused kernel cannot hold a 2048^2 plane set in "
+            "VMEM (BASELINE.md floor note) — use the panel-staged engine "
+            "('panel', pallas/panel_scan.py) or 'xla' there"
+        )
     _axis_consts(ny)  # validate size
 
     def step(psi, v_slice, propagator, sigma):

@@ -1,0 +1,324 @@
+"""Panel-streamed MXU multislice for pod grids (2048^2) — the HBM-staged
+four-step transform the round-4 floor analysis called for (VERDICT.md
+round-4 item 1; BASELINE.md "The 2048^2 floor").
+
+Why a third kernel family: at 2048^2 one f32 plane is 16 MiB, so no
+whole-plane VMEM kernel fits (fused_step/fused_scan cap at 1024^2), and
+the XLA VPU FFT runs at a measured ~7% of the HBM roofline (676
+slice-props/s, 1,480 us/slice-prop).  The floor analysis: an HBM-staged
+MXU transform that touches each plane a bounded number of times per slice
+is bandwidth-bound at a few hundred us/slice-prop — 4.7x headroom.  The
+two measured MXU failures in this regime (mxu4 small-digit einsums; the
+XLA-level radix engine: 153-211 slice-props/s) never staged panels: their
+intermediates round-trip whole planes through HBM once per STAGE of the
+transform, not once per PASS over the data.
+
+Scheme — the slice loop keeps the field ROW-TRANSFORMED between slices.
+Let Fx/Fy be the 1-D mixed-radix transforms of fused_step.py (digit
+layout; 2048 = 16 * 128, one in-kernel radix-16 stage + the 128-point
+matmul base) applied along lanes/sublanes.  With a_j = Fx(t_j psi_j):
+
+    init  (row panels):  a_0 = Fx(t_0 . psi_0)            [transmit + Fx]
+    per slice (col panels): b_j = Fy^H(P_l . Fy(a_j))     [Fy, xP, Fy^H]
+    per slice (row panels): a_{j+1} = Fx(t_{j+1} . Fx^H(b_j))
+    final (col+row):      psi_S = Fx^H(b_{S-1})
+
+Every pass streams (R, N) row panels or (N, C) column panels through VMEM
+(Pallas double-buffers the panel DMA against the in-VMEM butterflies and
+base matmuls), so the steady-state HBM traffic per slice is TWO
+read+write round trips of the (re, im) plane pair + one read each of V
+and P_l: 2*64 + 16 + 32 = 144 MiB ~= 176 us at 819 GB/s — against xla's
+measured 1,480 us.  The propagator multiply rides the column pass (P_l
+pre-permuted in both axes and 1/N^2-folded, fused_step._prepared_prop),
+and the inverse-row + next-transmit + forward-row fusion makes the row
+work of two adjacent slices ONE pass.
+
+FORWARD-ONLY, square grids, N = r*128 with r in {2, 4, 8, 16}; real V.
+Grad contexts at 2048^2 keep xla + remat (make_slice_step routing) until
+a panel-staged adjoint is measured.  The building blocks (panel_init /
+panel_colpass / panel_rowpass / panel_final) are module-level so the
+streamed forward (potential built on the fly) can compose with them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_step import (
+    BASE,
+    _axis_consts,
+    _fft_x,
+    _fft_y,
+    _prepared_prop,
+    _resolve_interpret,
+    _tables,
+)
+from .fused_scan import WholeScanEngine
+
+#: default panel extents (rows per row-panel, lanes per column-panel).
+#: 256 keeps the live set per grid step (in pair + out pair + V panel +
+#: transform transients, x2 for pipeline double-buffering) well under the
+#: 96 MiB scoped-VMEM cap at 2048^2 while panels stay big enough that the
+#: (128, r*C) base matmuls fill the MXU.
+_ROWS = 256
+_COLS = 256
+
+
+def _row_init_kernel(
+    v_ref, pr_ref, pi_ref, twr, twi, fr, fi, or_ref, oi_ref,
+    *, sigma, radix, precision,
+):
+    """(R, N) panel: transmit with V_0, then forward x-transform."""
+    phase = sigma * v_ref[:]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    zr = pr * c - pi * s
+    zi = pr * s + pi * c
+    zr, zi = _fft_x(
+        zr, zi, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _row_mid_kernel(
+    v_ref, ar_ref, ai_ref, twr, twi, fr, fi, or_ref, oi_ref,
+    *, sigma, radix, precision,
+):
+    """(R, N) panel: inverse x-transform, transmit with V_{j+1}, forward
+    x-transform — the row work of two adjacent slices fused into ONE
+    HBM pass (the 1/N^2 inverse scale lives in P_l, so the x-roundtrip
+    here is exactly unitary-up-to-layout)."""
+    zr, zi = _fft_x(
+        ar_ref[:], ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    phase = sigma * v_ref[:]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    tr = zr * c - zi * s
+    ti = zr * s + zi * c
+    zr, zi = _fft_x(
+        tr, ti, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _row_final_kernel(
+    ar_ref, ai_ref, twr, twi, fr, fi, or_ref, oi_ref, *, radix, precision
+):
+    """(R, N) panel: inverse x-transform only — the exit wave."""
+    zr, zi = _fft_x(
+        ar_ref[:], ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _col_kernel(
+    ar_ref, ai_ref, plr_ref, pli_ref, twr, twi, fr, fi, or_ref, oi_ref,
+    *, radix, precision,
+):
+    """(N, C) panel: forward y-transform, propagator multiply (P_l
+    pre-permuted + 1/N^2-folded), inverse y-transform."""
+    zr, zi = _fft_y(
+        ar_ref[:], ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=False,
+    )
+    plr = plr_ref[:]
+    pli = pli_ref[:]
+    tr = zr * plr - zi * pli
+    ti = zr * pli + zi * plr
+    zr, zi = _fft_y(
+        tr, ti, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=True
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=96 * 1024 * 1024,
+        dimension_semantics=("arbitrary",),
+    )
+
+
+def _panel_sizes(n: int):
+    rows = min(_ROWS, n)
+    cols = min(_COLS, n)
+    return rows, cols
+
+
+def _row_specs(n: int, rows: int, nin: int, consts_shapes):
+    """BlockSpecs for a row pass: nin (rows, n)-panelled inputs followed
+    by the transform tables (whole-array constant blocks)."""
+    panel = pl.BlockSpec((rows, n), lambda i: (i, 0))
+    const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp))  # noqa: E731
+    return [panel] * nin + [const(s) for s in consts_shapes], panel
+
+
+def _col_specs(n: int, cols: int, nin: int, consts_shapes):
+    panel = pl.BlockSpec((n, cols), lambda i: (0, i))
+    const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp))  # noqa: E731
+    return [panel] * nin + [const(s) for s in consts_shapes], panel
+
+
+def _const_shapes(twr, fr):
+    return [twr.shape, twr.shape, fr.shape, fr.shape]
+
+
+def panel_init(v0, psir, psii, tabs, sigma, precision, interpret):
+    n = psir.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 3, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(
+            _row_init_kernel, sigma=psir.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), psir.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(v0, psir, psii, twr, twi, fr, fi)
+
+
+def panel_colpass(ar, ai, plr, pli, tabs, precision, interpret):
+    n = ar.shape[-1]
+    _, cols = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _col_specs(n, cols, 4, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(_col_kernel, radix=r, precision=precision),
+        grid=(n // cols,),
+        in_specs=in_specs,
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), ar.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(ar, ai, plr, pli, twr, twi, fr, fi)
+
+
+def panel_rowpass(v_next, br, bi, tabs, sigma, precision, interpret):
+    n = br.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 3, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(
+            _row_mid_kernel, sigma=br.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), br.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(v_next, br, bi, twr, twi, fr, fi)
+
+
+def panel_final(br, bi, tabs, precision, interpret):
+    n = br.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 2, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(_row_final_kernel, radix=r, precision=precision),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), br.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(br, bi, twr, twi, fr, fi)
+
+
+def _run_single(psi0, v_stack, propagator, sigma, precision, interpret):
+    n = psi0.shape[-1]
+    interp = _resolve_interpret(interpret)
+    precision = precision or jax.lax.Precision.HIGHEST
+    tabs = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(psi0.dtype), n)
+    plr, pli = jnp.real(pl_c), jnp.imag(pl_c)
+    rdt = jnp.real(psi0).dtype
+    sigma = float(sigma)
+    v_stack = v_stack.astype(rdt)
+
+    ar, ai = panel_init(
+        v_stack[0], jnp.real(psi0), jnp.imag(psi0), tabs, sigma, precision,
+        interp,
+    )
+
+    def body(carry, v_next):
+        ar, ai = carry
+        br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
+        ar, ai = panel_rowpass(v_next, br, bi, tabs, sigma, precision, interp)
+        return (ar, ai), None
+
+    (ar, ai), _ = jax.lax.scan(body, (ar, ai), v_stack[1:])
+    br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
+    outr, outi = panel_final(br, bi, tabs, precision, interp)
+    return jax.lax.complex(outr, outi)
+
+
+def make_panel_scan(
+    ny: int, nx: int, dtype=jnp.complex64, precision=None
+):
+    """WholeScanEngine streaming row/column PANELS through VMEM — the
+    2048^2 engine (any square N = r*128, r in {2,4,8,16}, divisible by the
+    panel extents).
+
+    Forward-only, real V (complex absorptive V falls back to the xla
+    scan, the per-slice engine class that handles it at this grid).
+    Batched (B, n, n) waves run as a sequential lax.map — batching was
+    measured to HURT at pod grids (xla 676 unbatched vs 330 at b8,
+    tpu_steps.jsonl r3: HBM-bound), so the panel engine keeps the HBM
+    streams of one wave at a time saturated instead."""
+    if ny != nx:
+        raise ValueError(f"panel scan needs a square grid, got ({ny}, {nx})")
+    _axis_consts(ny)  # validate N = r*128
+    rows, cols = _panel_sizes(ny)
+    if ny % rows or ny % cols:
+        raise ValueError(f"grid {ny} not divisible by panels {rows}/{cols}")
+
+    def whole_scan(psi0, v_stack, propagator, sigma):
+        psi0 = psi0.astype(dtype)
+        propagator = propagator.astype(dtype)
+        if jnp.iscomplexobj(v_stack):
+            from ..propagate import default_slice_step
+
+            def body(psi, v):
+                return default_slice_step(psi, v, propagator, sigma), None
+
+            if psi0.ndim == 3:
+                return jax.vmap(
+                    lambda p: jax.lax.scan(body, p, v_stack)[0]
+                )(psi0)
+            return jax.lax.scan(body, psi0, v_stack)[0]
+        sigma = float(sigma)
+        if psi0.ndim == 3:
+            return jax.lax.map(
+                lambda p: _run_single(
+                    p, v_stack, propagator, sigma, precision, None
+                ),
+                psi0,
+            )
+        return _run_single(psi0, v_stack, propagator, sigma, precision, None)
+
+    kind = {"bf16x3": "panel_fast", "bf16x1": "panel_draft"}.get(
+        precision, "panel"
+    )
+    return WholeScanEngine(whole_scan, kind, grad_capable=False)

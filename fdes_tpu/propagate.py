@@ -249,6 +249,11 @@ def make_slice_step(
                  buffered (pallas/fused_scan.py); FORWARD-ONLY (no
                  grad/remat), square 128/256/512 grids, Precision.HIGHEST;
     'fscan_fast' — same with bf16x3 Karatsuba dots;
+    'panel'    — HBM-panel-staged MXU transform loop for grids whose
+                 planes exceed VMEM (2048^2): row/column panels streamed
+                 through VMEM, 2 plane round-trips per slice
+                 (pallas/panel_scan.py); FORWARD-ONLY, square N = r*128;
+    'panel_fast' — same with bf16x3 Karatsuba dots;
     'auto'     — accuracy-preserving winner per grid size;
     'auto_fast'— throughput winner per grid size (exit-wave error ~2e-3
                  at 512^2 x 64 slices — fine for STEM/detector signals and
@@ -375,6 +380,19 @@ def make_slice_step(
         return make_fused_scan(
             *shape, dtype=dtype or jnp.complex64, precision=precision,
             grad=grad,
+        )
+    if kind in ("panel", "panel_fast"):
+        if shape is None:
+            raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
+        from .pallas.panel_scan import make_panel_scan
+
+        # Mosaic has no Precision.HIGH lowering; bf16x3 is the hand-rolled
+        # Karatsuba HIGH-class tier (fused_step._cdot)
+        precision = (
+            "bf16x3" if kind == "panel_fast" else jax.lax.Precision.HIGHEST
+        )
+        return make_panel_scan(
+            *shape, dtype=dtype or jnp.complex64, precision=precision
         )
     if kind in ("fused", "fused_fast"):
         if shape is None:

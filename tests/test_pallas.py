@@ -469,6 +469,72 @@ def test_fscan_batched_propagator_and_v(fields):
     np.testing.assert_allclose(np.asarray(got_p), want_p, atol=2e-5)
 
 
+def test_panel_scan_matches_xla(fields, monkeypatch):
+    """Panel-streamed engine (pallas/panel_scan.py, the 2048^2 tier) vs
+    the xla scan, exercised with MULTIPLE row and column panels (the
+    panel extents are patched down so a CPU-sized grid streams 4 row
+    panels and 2 column panels per pass, the structure the real 2048^2
+    run has) plus the single-panel and batched paths."""
+    import fdes_tpu.pallas.panel_scan as ps
+    from fdes_tpu.propagate import make_slice_step
+
+    monkeypatch.setattr(ps, "_ROWS", 64)
+    monkeypatch.setattr(ps, "_COLS", 128)
+    n = 256
+    rng = np.random.default_rng(9)
+    grid = Grid(ny=n, nx=n, py=0.3, px=0.3)
+    psi = jnp.asarray(
+        (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))).astype(
+            np.complex64
+        )
+    )
+    v_stack = jnp.asarray((rng.normal(size=(3, n, n)) * 25.0).astype(np.float32))
+    prop = jnp.asarray(
+        fresnel_propagator(grid, wavelength_A(KV), 1.8).astype(np.complex64)
+    )
+    sigma = interaction_sigma(KV)
+    ref = multislice(psi, v_stack, prop, sigma)
+    step = make_slice_step("panel", shape=(n, n), dtype=psi.dtype)
+    assert step.kind == "panel" and not step.grad_capable
+    out = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-6 * float(jnp.max(jnp.abs(ref)))
+    )
+    # batched (B, n, n): sequential lax.map, same result as vmapped xla
+    psi_b = jnp.stack([psi, 1j * psi])
+    out_b = multislice(psi_b, v_stack, prop, sigma, slice_step=step)
+    ref_b = jax.vmap(lambda p: multislice(p, v_stack, prop, sigma))(psi_b)
+    np.testing.assert_allclose(
+        np.asarray(out_b),
+        np.asarray(ref_b),
+        atol=5e-6 * float(jnp.max(jnp.abs(ref_b))),
+    )
+
+
+def test_panel_scan_single_slice_and_complex_v(fields):
+    """S=1 (empty steady-state scan) and the complex absorptive-V
+    fallback route of the panel engine."""
+    from fdes_tpu.propagate import make_slice_step
+
+    psi, v, prop = fields
+    sigma = interaction_sigma(KV)
+    step = make_slice_step("panel", shape=psi.shape, dtype=psi.dtype)
+    v1 = jnp.stack([v])
+    out = multislice(psi, v1, prop, sigma, slice_step=step)
+    ref = multislice(psi, v1, prop, sigma)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-6 * float(jnp.max(jnp.abs(ref)))
+    )
+    vc = jnp.stack([v + 0.2j * jnp.abs(v)])
+    out_c = multislice(psi, vc, prop, sigma, slice_step=step)
+    ref_c = multislice(psi, vc, prop, sigma)
+    np.testing.assert_allclose(
+        np.asarray(out_c),
+        np.asarray(ref_c),
+        atol=5e-6 * float(jnp.max(jnp.abs(ref_c))),
+    )
+
+
 def test_fscan_complex_v_falls_back(fields):
     """engine='auto' may promote fscan without knowing the V dtype; an
     absorptive (complex) potential must fall back to the per-slice Pallas
