@@ -114,14 +114,92 @@ WORKER = textwrap.dedent(
 
     v, st, loss = train_step(v0, st, psi0s, props, i_obs)  # compile
     float(loss)
+    # second warmup from the POST-step arrays: the first steady-state call
+    # can recompile once when output layouts/shardings differ from the
+    # freshly-device_put inputs — that one-time cost must not amortize
+    # into the timed window (it dominated the 16^2 tiny step when reps
+    # was small)
+    v, st, loss = train_step(v, st, psi0s, props, i_obs)
+    float(loss)
     t0 = time.time()
     for _ in range(reps):
         v, st, loss = train_step(v, st, psi0s, props, i_obs)
     float(loss)  # CPU-local: a plain scalar readback is a real barrier
     dt = (time.time() - t0) / reps
+
+    # ---- decomposition (VERDICT.md round-4 item 6) ----
+    # (a) the BARE psum of the gradient-sized buffer: isolates collective
+    # cost from XLA compute sharing the cores.  Chained (output feeds
+    # input, scaled back by 1/nproc) so calls cannot overlap.
+    # psum over the 'data' axis of a sharded dummy whose per-shard block
+    # is gradient-sized: every process contributes + receives the full
+    # (nslices, n, n) f32 gradient, the step's exact collective payload.
+    gs = jax.make_array_from_process_local_data(
+        sharding,
+        np.ones((per_proc, nslices, n, n), np.float32),
+        (ntilt, nslices, n, n),
+    )
+    psum_fn = jax.jit(
+        jax.shard_map(
+            lambda x: x * 0.0 + jax.lax.psum(jnp.sum(x, 0), "data")[None]
+            * (1.0 / ntilt),
+            mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        )
+    )
+    gs = psum_fn(gs)  # compile
+    float(jnp.sum(gs[0, 0, 0]))
+    gs = psum_fn(gs)  # steady-state warmup (see train_step note)
+    float(jnp.sum(gs[0, 0, 0]))
+    t0 = time.time()
+    for _ in range(reps):
+        gs = psum_fn(gs)
+    float(jnp.sum(gs[0, 0, 0]))
+    psum_s = (time.time() - t0) / reps
+
+    # (b) a trivially small step (16^2 x 4): compute ~zero by design, so
+    # the time is the per-step distributed-runtime floor (dispatch +
+    # collective latency), the other bound the core-bound curve lacks.
+    tn, tns = 16, 4
+    tgrid = Grid(ny=tn, nx=tn, py=0.2, px=0.2)
+    tprops_host = np.stack(
+        [
+            host_cast(f.fresnel_propagator(tgrid, lam, 2.0, tilt_xy_rad=t), np.complex64)
+            for t in tilts
+        ]
+    )
+    tctf = jnp.asarray(host_cast(f.ctf_series(tgrid, lam, np.array([100.0]))[0], np.complex64))
+    tobs_host = np.ones((ntilt, tn, tn), np.float32)
+    tprops = gshard(tprops_host)
+    tobs = gshard(tobs_host)
+    tpsi0 = gshard(np.ones((ntilt, tn, tn), np.complex64))
+    tv0 = jax.device_put(jnp.zeros((tns, tn, tn), jnp.float32), replicated(mesh))
+
+    def tiny_loss(v, psi0s, props, i_obs):
+        sim = f.hrtem_tilt_series(v, psi0s, props, sigma, tctf, remat_chunk=None)
+        return l2_mismatch(sim, i_obs)
+
+    tst = jax.jit(opt.init)(tv0)
+
+    @jax.jit
+    def tiny_step(v, st, psi0s, props, i_obs):
+        loss, g = jax.value_and_grad(tiny_loss)(v, psi0s, props, i_obs)
+        up, st = opt.update(g, st, v)
+        return optax.apply_updates(v, up), st, loss
+
+    tv, tst, tl = tiny_step(tv0, tst, tpsi0, tprops, tobs)
+    float(tl)
+    tv, tst, tl = tiny_step(tv, tst, tpsi0, tprops, tobs)  # steady state
+    float(tl)
+    t0 = time.time()
+    for _ in range(reps):
+        tv, tst, tl = tiny_step(tv, tst, tpsi0, tprops, tobs)
+    float(tl)
+    tiny_s = (time.time() - t0) / reps
+
     if pid == 0:
         with open(out_path, "w") as fh:
-            json.dump({"nproc": nproc, "ntilt": ntilt, "step_s": dt}, fh)
+            json.dump({"nproc": nproc, "ntilt": ntilt, "step_s": dt,
+                       "psum_grad_s": psum_s, "tiny_step_s": tiny_s}, fh)
     if nproc > 1:
         jax.distributed.shutdown()
     """
@@ -183,6 +261,16 @@ def main():
             "collective/runtime overhead UNDER contention, not pod scaling "
             "(real N>=2-host runs are environmentally unavailable; "
             "SURVEY.md §4)"
+        ),
+        "decomposition_note": (
+            "psum_grad_s isolates the step's collective: one psum of the "
+            "full (32,128,128) f32 gradient payload per process, no XLA "
+            "compute sharing the core.  tiny_step_s is the full train "
+            "step at 16^2x4 — compute ~zero by design, so it is the "
+            "per-step distributed-runtime floor (dispatch + collective "
+            "latency) under the same contention.  step_s - tiny-floor "
+            "bounds what is compute/core contention vs runtime overhead "
+            "(VERDICT.md round-4 item 6)."
         ),
         "points": points,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),

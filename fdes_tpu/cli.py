@@ -211,39 +211,84 @@ def main(argv: list[str] | None = None) -> int:
         from .potential import pad_atoms_per_slice, species_factors_rfft
         from .propagate import multislice_streamed
 
-        if use_gridshard:
-            print(
-                "sim.streamed and a 'grid' mesh axis are not composable yet; "
-                "pick one (streamed already bounds single-chip memory)",
-                file=sys.stderr,
-            )
-            return 2
-        if cfg.sim.engine not in ("auto", "xla"):
-            # multislice_streamed builds V inside the scan and runs the
-            # default xla slice step; silently ignoring a configured engine
-            # would contradict the loud incompatibility checks above
-            # (ADVICE.md round 3)
-            print(
-                f"sim.streamed runs the default 'xla' slice step; "
-                f"sim.engine={cfg.sim.engine!r} is not honored in streamed "
-                "mode — set sim.engine to 'auto'/'xla' or drop sim.streamed",
-                file=sys.stderr,
-            )
-            return 2
         np_rdt = np.dtype(jax.numpy.dtype(sim.rdtype).name)
         x, y, sp, w, _ = pad_atoms_per_slice(sim.sliced, np_rdt)
+        atoms = tuple(jnp.asarray(a) for a in (x, y, sp, w))
+        if use_gridshard:
+            # streamed x 'grid' mesh (VERDICT.md round-4 item 7): the
+            # potential build is row-local after the halo scatter and the
+            # transforms ride the distributed-FFT machinery — the config-5
+            # forward streams V AND shards the field in one path.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .gridshard import multislice_gridsharded_streamed
+            from .potential import species_factors_full
+
+            if sim.psi0_stack is not None:
+                print(
+                    "gridshard streamed forward supports a single incident "
+                    "wave (no tilt series); drop sim.tilt_series_rad or the "
+                    "'grid' mesh axis",
+                    file=sys.stderr,
+                )
+                return 2
+            ff_full = jnp.asarray(
+                host_cast(
+                    species_factors_full(
+                        sim.grid, sim.sliced.species, sim.table
+                    ),
+                    sim.rdtype,
+                )
+            )
+            psi0s = jax.device_put(
+                sim.psi0, NamedSharding(mesh, P("grid", None))
+            )
+            ffs = jax.device_put(
+                ff_full, NamedSharding(mesh, P(None, None, "grid"))
+            )
+            props = jax.device_put(
+                sim.propagator, NamedSharding(mesh, P(None, "grid"))
+            )
+            psi = jax.jit(
+                lambda p0, at, ff, pr: multislice_gridsharded_streamed(
+                    p0, at, ff, pr, sim.sigma, mesh,
+                    shape=sim.grid.shape,
+                    pixel=(sim.grid.py, sim.grid.px),
+                )
+            )(psi0s, atoms, ffs, props)
+            io.write_npy(out("exit_wave.npy"), psi)
+            if jax.process_index() == 0:
+                print(
+                    f"{cfg.mode}: done in {time.time() - t0:.2f}s -> "
+                    f"{cfg.output_dir}/"
+                )
+            return 0
+        # streamed x engine table (VERDICT.md round-4 item 7): per-slice
+        # engines run inside the scan body; the panel engine composes
+        # through its XLA-level loop.  The fscan tiers stream a
+        # materialised V stack and cannot compose — the auto tiers fall
+        # back to the xla body there (an EXPLICIT fscan request still
+        # errors loudly in multislice_streamed).
+        step_streamed = slice_step
+        if (
+            step_streamed is not None
+            and hasattr(step_streamed, "whole_scan")
+            and not step_streamed.kind.startswith("panel")
+            and cfg.sim.engine in ("auto", "auto_fast")
+        ):
+            step_streamed = None
         ff_r = jnp.asarray(
             host_cast(
                 species_factors_rfft(sim.grid, sim.sliced.species, sim.table),
                 sim.rdtype,
             )
         )
-        atoms = tuple(jnp.asarray(a) for a in (x, y, sp, w))
         run = jax.jit(
             lambda p0, at, ff, pr: multislice_streamed(
                 p0, at, ff, pr, sim.sigma,
                 shape=sim.grid.shape,
                 pixel=(sim.grid.py, sim.grid.px),
+                slice_step=step_streamed,
             )
         )
         if sim.psi0_stack is not None:

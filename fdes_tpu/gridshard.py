@@ -209,6 +209,119 @@ def multislice_gridsharded(
     )(psi0, v_stack, propagator)
 
 
+def _slice_scatter_rows(
+    xs, ys, sps, ws, *, nsp, ny, nx, pixel, row0, rows, rdt
+):
+    """Bilinear periodic scatter of ONE slice's (padded) atoms onto this
+    device's LOCAL row block, plus one halo row.
+
+    Each device owns the atoms whose base pixel row floor(y/py) mod ny
+    falls in [row0, row0+rows); the dy=1 bilinear corner of the last
+    owned row lands in the halo row (index ``rows``), which the caller
+    ships to the next device with a cyclic ppermute — the wrap from the
+    last device to row 0 of the first is the same permutation.  Returns
+    (nsp, rows+1, nx)."""
+    py, px = pixel
+    fy = ys.astype(rdt) / rdt.type(py)
+    fx = xs.astype(rdt) / rdt.type(px)
+    iy0 = jnp.floor(fy)
+    ix0 = jnp.floor(fx)
+    wy1 = fy - iy0
+    wx1 = fx - ix0
+    iy0g = jnp.mod(iy0.astype(jnp.int32), ny)
+    ix0 = ix0.astype(jnp.int32)
+    own = (iy0g >= row0) & (iy0g < row0 + rows)
+    w_ = jnp.where(own, ws.astype(rdt), rdt.type(0.0))
+    loc0 = jnp.clip(iy0g - row0, 0, rows - 1)  # valid wherever own
+    idxs = []
+    vals = []
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        iy = loc0 + dy  # in [0, rows]; rows == the halo row
+        ix = jnp.mod(ix0 + dx, nx)
+        cw = (wy1 if dy else 1.0 - wy1) * (wx1 if dx else 1.0 - wx1)
+        idxs.append((sps * (rows + 1) + iy) * nx + ix)
+        vals.append(w_ * cw)
+    g = jnp.zeros((nsp * (rows + 1) * nx,), rdt)
+    g = g.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals))
+    return g.reshape(nsp, rows + 1, nx)
+
+
+def multislice_gridsharded_streamed(
+    psi0: jax.Array,
+    atoms_xyspw: tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+    ff_full: jax.Array,
+    propagator: jax.Array,
+    sigma: float,
+    mesh: Mesh,
+    *,
+    shape: tuple[int, int],
+    pixel: tuple[float, float],
+    axis: str = AXIS,
+) -> jax.Array:
+    """Grid-sharded multislice with the potential built ON THE FLY — the
+    composition VERDICT.md round-4 item 7 names: the (S, ny, nx) stack
+    never exists AND the field/V work is row-sharded over the mesh.
+
+    Per slice, inside one shard_map region: each device scatters its own
+    rows' atoms locally (one cyclic ppermute ships the bilinear halo
+    row), the species delta blocks go through the DISTRIBUTED fft2 (the
+    same all_to_all transpose the propagation uses), the column-sharded
+    full-grid factors (potential.species_factors_full, P(None, None,
+    axis)) multiply locally, one distributed ifft2 returns the local V
+    block, and the propagation body follows.  Cost per slice vs the
+    non-streamed grid-sharded scan: +(nspecies+1) distributed transforms
+    — the same trade multislice_streamed makes on one chip.
+
+    atoms_xyspw (per-slice padded host arrays, pad_atoms_per_slice)
+    travel REPLICATED (a few MB of coordinates); psi0 row-sharded
+    P(axis, None); propagator column-sharded P(None, axis).
+    Forward-only, like every streamed path (the inverse optimises V
+    itself)."""
+    ny, nx = shape
+    ndev = _check(mesh, axis, *psi0.shape, prop_shape=propagator.shape)
+    rows = ny // ndev
+    perm = tuple((i, (i + 1) % ndev) for i in range(ndev))
+    nsp = ff_full.shape[0]
+    rdt = jnp.real(psi0).dtype
+
+    def local(psi_blk, x, y, sp, w, ff_blk, prop_blk):
+        idx = jax.lax.axis_index(axis)
+        row0 = (idx * rows).astype(jnp.int32)
+
+        def body(psi, slice_atoms):
+            xs, ys, sps, ws = slice_atoms
+            g = _slice_scatter_rows(
+                xs, ys, sps, ws, nsp=nsp, ny=ny, nx=nx, pixel=pixel,
+                row0=row0, rows=rows, rdt=rdt,
+            )
+            halo = jax.lax.ppermute(g[:, rows], axis, perm)
+            g = g[:, :rows].at[:, 0].add(halo)
+            spec = jax.vmap(
+                lambda b: _fft2_local(b.astype(psi.dtype), axis)
+            )(g)
+            vq = jnp.sum(spec * ff_blk.astype(spec.dtype), axis=0)
+            # 1/(py*px): the scatter places unit deltas; the continuous
+            # FT normalisation is the same as slice_potential's inv_area
+            v_blk = jnp.real(_ifft2_local(vq, axis)).astype(rdt) * rdt.type(
+                1.0 / (pixel[0] * pixel[1])
+            )
+            psi = transmit(psi, v_blk, sigma)
+            s = _fft2_local(psi, axis) * prop_blk.astype(psi.dtype)
+            return _ifft2_local(s, axis), None
+
+        return jax.lax.scan(body, psi_blk, (x, y, sp, w))[0]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(), P(), P(), P(),
+            P(None, None, axis), P(None, axis),
+        ),
+        out_specs=P(axis, None),
+    )(psi0, *atoms_xyspw, ff_full, propagator)
+
+
 def hrtem_defocus_series_gridsharded(
     v_stack: jax.Array,
     psi0: jax.Array,

@@ -150,13 +150,19 @@ class WholeScanEngine:
     instead of scanning a per-slice step (the engine cannot be called per
     slice — the point is that the loop lives inside one kernel)."""
 
-    def __init__(self, whole_scan, kind: str, grad_capable: bool = False):
+    def __init__(
+        self, whole_scan, kind: str, grad_capable: bool = False, precision=None
+    ):
         self.whole_scan = whole_scan
         self.kind = kind
         #: True when the engine carries the whole-loop custom VJP
         #: (pallas/adjoint_scan.py): value_and_grad works and remat_chunk
         #: is subsumed by the in-kernel segment checkpointing
         self.grad_capable = grad_capable
+        #: the kernel precision tier (HIGHEST / 'bf16x3' / 'bf16x1') so
+        #: compositions (multislice_streamed -> panel_streamed) can rebuild
+        #: an equivalent pipeline without re-deriving it from .kind
+        self.precision = precision
 
     def __call__(self, *args, **kwargs):
         raise TypeError(

@@ -274,6 +274,66 @@ def _run_single(psi0, v_stack, propagator, sigma, precision, interpret):
     return jax.lax.complex(outr, outi)
 
 
+def panel_streamed(
+    psi0,
+    atoms_xyspw,
+    ff_r,
+    propagator,
+    sigma,
+    *,
+    shape,
+    pixel,
+    precision=None,
+    interpret=None,
+):
+    """The config-5 composition (VERDICT.md round-4 items 1+7): potential
+    built ON THE FLY per slice AND the panel-staged MXU transform loop.
+
+    Because the panel engine's slice loop lives at the XLA level (unlike
+    the fscan family, whose loop is inside one kernel), the streamed
+    potential build (potential.slice_potential: bilinear scatter + rfft2
+    x species factors) slots between the column pass of slice j and the
+    row pass that transmits slice j+1 — the (S, ny, nx) stack never
+    exists and the transform still runs on the MXU.  XLA overlaps the
+    scatter/rfft2 (VPU/scalar work) with the panel kernels' MXU passes
+    where dependencies allow."""
+    from ..potential import slice_potential
+
+    n = psi0.shape[-1]
+    interp = _resolve_interpret(interpret)
+    precision = precision or jax.lax.Precision.HIGHEST
+    tabs = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(psi0.dtype), n)
+    plr, pli = jnp.real(pl_c), jnp.imag(pl_c)
+    rdt = jnp.real(psi0).dtype
+    sigma = float(sigma)
+    x, y, sp, w = atoms_xyspw
+
+    def build(xs, ys, sps, ws):
+        return slice_potential(
+            xs, ys, sps, ws, ff_r, shape=shape, pixel=pixel
+        ).astype(rdt)
+
+    v0 = build(x[0], y[0], sp[0], w[0])
+    ar, ai = panel_init(
+        v0, jnp.real(psi0), jnp.imag(psi0), tabs, sigma, precision, interp
+    )
+
+    def body(carry, slice_atoms):
+        ar, ai = carry
+        br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
+        vn = build(*slice_atoms)
+        ar, ai = panel_rowpass(vn, br, bi, tabs, sigma, precision, interp)
+        return (ar, ai), None
+
+    (ar, ai), _ = jax.lax.scan(
+        body, (ar, ai), (x[1:], y[1:], sp[1:], w[1:])
+    )
+    br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
+    outr, outi = panel_final(br, bi, tabs, precision, interp)
+    return jax.lax.complex(outr, outi)
+
+
 def make_panel_scan(
     ny: int, nx: int, dtype=jnp.complex64, precision=None
 ):
@@ -321,4 +381,5 @@ def make_panel_scan(
     kind = {"bf16x3": "panel_fast", "bf16x1": "panel_draft"}.get(
         precision, "panel"
     )
-    return WholeScanEngine(whole_scan, kind, grad_capable=False)
+    return WholeScanEngine(whole_scan, kind, grad_capable=False,
+                           precision=precision)

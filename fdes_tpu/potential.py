@@ -53,6 +53,20 @@ def species_factors_rfft(
     return species_form_factors(rfft_q2(grid), list(species), table)
 
 
+def species_factors_full(
+    grid: Grid,
+    species: tuple[tuple[int, float], ...],
+    table: ScatteringTable | None = None,
+) -> np.ndarray:
+    """(nspecies, ny, nx) float64 Fourier factors on the FULL fft2 grid.
+
+    The grid-sharded streamed builder (gridshard.multislice_gridsharded_
+    streamed) consumes the factors COLUMN-sharded in the distributed
+    spectral layout, which is the natural full-C2C fft2 ordering — the
+    rfft2 half-grid of species_factors_rfft does not shard that way."""
+    return species_form_factors(grid.q2(), list(species), table)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nslices", "nspecies", "shape", "pixel", "dtype"),

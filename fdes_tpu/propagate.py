@@ -65,6 +65,7 @@ def multislice_streamed(
     shape: tuple[int, int],
     pixel: tuple[float, float],
     remat_chunk: int | None = None,
+    slice_step: Callable[..., jax.Array] | None = None,
 ) -> jax.Array:
     """Multislice with the potential built ON THE FLY inside the scan.
 
@@ -75,17 +76,42 @@ def multislice_streamed(
     +2 rFFTs/slice for O(S*N^2) memory (pod config 512x2048^2 = 8 GiB;
     SURVEY.md §7 memory risk).  Forward-only tool: in the INVERSE problem
     the potential stack is the optimization variable itself.
+
+    slice_step composes the streamed build with the engine table
+    (VERDICT.md round-4 item 7): per-slice engines run inside the scan
+    body; the PANEL whole-loop engine (the 2048^2 winner) composes
+    through its XLA-level loop (panel_scan.panel_streamed — the potential
+    build rides between the column and row passes).  The fscan family
+    cannot compose (its kernel streams a materialised V stack from HBM;
+    that stack never existing is the point here) and is rejected loudly.
     """
     from .potential import slice_potential
 
     x, y, sp, w = atoms_xyspw
+
+    if slice_step is not None and hasattr(slice_step, "whole_scan"):
+        if slice_step.kind.startswith("panel"):
+            from .pallas.panel_scan import panel_streamed
+
+            return panel_streamed(
+                psi0, atoms_xyspw, ff_r, propagator, sigma,
+                shape=shape, pixel=pixel,
+                precision=getattr(slice_step, "precision", None),
+            )
+        raise ValueError(
+            f"engine {slice_step.kind!r} streams a materialised (S, ny, nx) "
+            "V stack into its kernel — it cannot compose with the streamed "
+            "on-the-fly potential build.  Use a per-slice engine "
+            "('fused'/'xla') or the panel engine at pod grids."
+        )
+    step = slice_step or default_slice_step
 
     def body(psi, slice_atoms):
         xs, ys, sps, ws = slice_atoms
         v = slice_potential(
             xs, ys, sps, ws, ff_r, shape=shape, pixel=pixel
         )
-        return default_slice_step(psi, v, propagator, sigma), None
+        return step(psi, v, propagator, sigma), None
 
     s = x.shape[0]
     if not remat_chunk or remat_chunk >= s:
@@ -194,6 +220,13 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     is1024 = max(shape) == 1024 and ny == nx and grad
     fscan1024_grad = is1024 and batch <= 1
     fscan1024_grad_fast = is1024 and batch <= 8
+    # 2048² FORWARD promotes the panel-streamed engine (round 5,
+    # tpu_steps/tpu_accuracy.jsonl 2026-08-21): panel 1,003 slice-props/s
+    # at 6.0e-6 exit err / panel_fast 1,685 at 7.4e-5, vs xla 678 at the
+    # same accuracy classes — the HBM-staged MXU transform the round-4
+    # floor analysis predicted (1.5x / 2.5x).  Grad contexts keep
+    # xla + remat (no panel adjoint measured yet).
+    panel_ok = ny == nx and ny == 2048 and not grad
     if kind == "auto":
         if fscan_ok:
             # fastest accuracy tier at EVERY measured batch (512²: 11.1k
@@ -205,6 +238,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
             return "radix"
         if fscan1024_grad:
             return "fscan"
+        if panel_ok:
+            return "panel"
         return "mxu" if max(shape) <= 512 else "xla"
     if fscan_ok:
         return "fscan_fast"  # 13.7k/37.9k/41.4k at b1/b16/b64, 7.5e-5
@@ -214,6 +249,8 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
         return "radix_fast"
     if fscan1024_grad_fast:
         return "fscan_fast"
+    if panel_ok:
+        return "panel_fast"
     return "mxu_fast" if max(shape) <= 1024 else "xla"
 
 
@@ -274,6 +311,13 @@ def make_slice_step(
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
         kind = _resolve_auto(kind, shape, grad, batch)
+        if kind.startswith("panel") and jax.default_backend() not in (
+            "tpu",
+            "axon",
+        ):
+            # panel kernels run in INTERPRET mode off-TPU — pathologically
+            # slow at 2048²; the VPU FFT keeps that grid off-TPU
+            kind = "xla"
         if kind.startswith("fscan") and jax.default_backend() not in (
             "tpu",
             "axon",

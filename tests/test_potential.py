@@ -138,6 +138,46 @@ def test_streamed_multislice_matches_precomputed(si110_small):
         pixel=(grid.py, grid.px),
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-11)
+
+
+def test_streamed_composes_with_engine_table(si110_config1):
+    """VERDICT.md round-4 item 7: multislice_streamed accepts per-slice
+    engines ('fused') and the panel whole-loop engine; the fscan family
+    (V streamed from HBM into the kernel) is rejected loudly."""
+    import jax.numpy as jnp
+    import pytest
+
+    from fdes_tpu.constants import interaction_sigma, wavelength_A
+    from fdes_tpu.grids import fresnel_propagator
+    from fdes_tpu.potential import pad_atoms_per_slice, species_factors_rfft
+    from fdes_tpu.probe import plane_wave
+    from fdes_tpu.propagate import make_slice_step, multislice_streamed
+
+    spec, grid, sliced = si110_config1
+    kv = 300e3
+    lam = wavelength_A(kv)
+    sigma = interaction_sigma(kv)
+    prop = jnp.asarray(fresnel_propagator(grid, lam, sliced.dz).astype(np.complex64))
+    psi0 = plane_wave(grid, lam, dtype=jnp.complex64)
+    x, y, sp, w, _ = pad_atoms_per_slice(sliced, dtype=np.float32)
+    ff = jnp.asarray(species_factors_rfft(grid, sliced.species).astype(np.float32))
+    atoms = tuple(jnp.asarray(a) for a in (x, y, sp, w))
+    kw = dict(shape=grid.shape, pixel=(grid.py, grid.px))
+    ref = multislice_streamed(psi0, atoms, ff, prop, sigma, **kw)
+    scale = float(jnp.max(jnp.abs(ref)))
+    for kind in ("fused", "panel"):
+        step = make_slice_step(kind, shape=grid.shape, dtype=psi0.dtype)
+        out = multislice_streamed(
+            psi0, atoms, ff, prop, sigma, slice_step=step, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-6 * scale
+        )
+    fscan = make_slice_step("fscan", shape=grid.shape, grad=False)
+    with pytest.raises(ValueError, match="cannot compose"):
+        multislice_streamed(
+            psi0, atoms, ff, prop, sigma, slice_step=fscan, **kw
+        )
     # remat-chunked streamed path identical
     out_r = multislice_streamed(
         psi0, atoms, ff, prop, sigma, shape=grid.shape,
