@@ -43,6 +43,7 @@ streamed forward (potential built on the fly) can compose with them.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,9 +65,10 @@ from .fused_scan import WholeScanEngine
 #: 256 keeps the live set per grid step (in pair + out pair + V panel +
 #: transform transients, x2 for pipeline double-buffering) well under the
 #: 96 MiB scoped-VMEM cap at 2048^2 while panels stay big enough that the
-#: (128, r*C) base matmuls fill the MXU.
-_ROWS = 256
-_COLS = 256
+#: (128, r*C) base matmuls fill the MXU.  Env overrides exist for the
+#: tuning benchmark (benchmarks/ panel experiments), not for users.
+_ROWS = int(os.environ.get("FDES_PANEL_ROWS", "256"))
+_COLS = int(os.environ.get("FDES_PANEL_COLS", "256"))
 
 
 def _row_init_kernel(
@@ -124,6 +126,40 @@ def _row_final_kernel(
     oi_ref[:] = zi
 
 
+def _row_fwd_kernel(
+    ar_ref, ai_ref, twr, twi, fr, fi, or_ref, oi_ref, *, radix, precision
+):
+    """(R, N) panel: forward x-transform only (no transmit) — the
+    backward pipeline's entry pass."""
+    zr, zi = _fft_x(
+        ar_ref[:], ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=False,
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _grad_tail_kernel(
+    v_ref, pr_ref, pi_ref, bsr_ref, bsi_ref, dr_ref, di_ref, dv_ref,
+    *, sigma,
+):
+    """(R, N) elementwise tail of the per-slice adjoint: from bar_s, psi
+    and V compute bar_psi = bar_s * t and bar_V = -sigma*Im(bar_s*t*psi)
+    (fused_step._bwd_kernel's tail, panel-staged)."""
+    phase = sigma * v_ref[:]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    bsr = bsr_ref[:]
+    bsi = bsi_ref[:]
+    dr_ref[:] = bsr * c - bsi * s
+    di_ref[:] = bsr * s + bsi * c
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    tpr = pr * c - pi * s
+    tpi = pr * s + pi * c
+    dv_ref[:] = -sigma * (bsr * tpi + bsi * tpr)
+
+
 def _col_kernel(
     ar_ref, ai_ref, plr_ref, pli_ref, twr, twi, fr, fi, or_ref, oi_ref,
     *, radix, precision,
@@ -146,9 +182,12 @@ def _col_kernel(
 
 
 def _compiler_params():
+    # panels are independent -> 'parallel' grid semantics (Mosaic may
+    # reorder/overlap grid steps; the kernels carry no cross-panel carry)
+    sem = os.environ.get("FDES_PANEL_SEMANTICS", "parallel")
     return pltpu.CompilerParams(
         vmem_limit_bytes=96 * 1024 * 1024,
-        dimension_semantics=("arbitrary",),
+        dimension_semantics=(sem,),
     )
 
 
@@ -244,6 +283,123 @@ def panel_final(br, bi, tabs, precision, interpret):
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(br, bi, twr, twi, fr, fi)
+
+
+def panel_rowfwd(ar, ai, tabs, precision, interpret):
+    n = ar.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 2, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(_row_fwd_kernel, radix=r, precision=precision),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), ar.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(ar, ai, twr, twi, fr, fi)
+
+
+def _panel_grad_tail(v, pr, pi, bsr, bsi, sigma, interpret):
+    n = pr.shape[-1]
+    rows, _ = _panel_sizes(n)
+    panel = pl.BlockSpec((rows, n), lambda i: (i, 0))
+    return pl.pallas_call(
+        functools.partial(_grad_tail_kernel, sigma=pr.dtype.type(sigma)),
+        grid=(n // rows,),
+        in_specs=[panel] * 5,
+        out_specs=[panel] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, n), pr.dtype)] * 3,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(v, pr, pi, bsr, bsi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def panel_slice_step(
+    psi, v_slice, propagator, sigma: float, precision=None,
+    interpret: bool | None = None,
+):
+    """One multislice step as three panel passes (transmit+Fx row pass,
+    Fy/xP/Fy^H column pass, Fx^H row pass) — the GRAD-capable per-slice
+    form of the panel engine for pod grids.
+
+    Composes with lax.scan + remat_chunk exactly like the fused per-slice
+    engines; the backward is the same panel pipeline run on conjugated
+    planes (fused_step.py's bilinear-vjp algebra) plus one elementwise
+    tail pass, so a value_and_grad slice step is 3 + 4 panel passes."""
+    return _pstep_fwd_only(psi, v_slice, propagator, sigma, precision, interpret)
+
+
+def _pstep_fwd_only(psi, v_slice, propagator, sigma, precision, interpret):
+    n = psi.shape[-1]
+    interp = _resolve_interpret(interpret)
+    precision = precision or jax.lax.Precision.HIGHEST
+    tabs = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(psi.dtype), n)
+    rdt = jnp.real(psi).dtype
+    ar, ai = panel_init(
+        v_slice.astype(rdt), jnp.real(psi), jnp.imag(psi), tabs,
+        float(sigma), precision, interp,
+    )
+    br, bi = panel_colpass(
+        ar, ai, jnp.real(pl_c), jnp.imag(pl_c), tabs, precision, interp
+    )
+    outr, outi = panel_final(br, bi, tabs, precision, interp)
+    return jax.lax.complex(outr, outi)
+
+
+def _pstep_fwd(psi, v_slice, propagator, sigma, precision, interpret):
+    out = panel_slice_step(psi, v_slice, propagator, sigma, precision, interpret)
+    return out, (psi, v_slice, propagator)
+
+
+def _pstep_bwd(sigma, precision, interpret, res, g):
+    psi, v_slice, propagator = res
+    n = psi.shape[-1]
+    interp = _resolve_interpret(interpret)
+    precision = precision or jax.lax.Precision.HIGHEST
+    tabs = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(psi.dtype), n)
+    rdt = jnp.real(psi).dtype
+    # bar_s = L^T g = conj(chain_{conj P_l}(conj(g))): the bilinear vjp
+    # pairing leaves P_l unconjugated in the NET algebra, which
+    # operationally means the conj-sandwiched pipeline runs on the
+    # conjugated propagator planes (exactly fused_step._bwd_kernel's
+    # `plr, -pli` call)
+    ar, ai = panel_rowfwd(jnp.real(g), -jnp.imag(g), tabs, precision, interp)
+    br, bi = panel_colpass(
+        ar, ai, jnp.real(pl_c), -jnp.imag(pl_c), tabs, precision, interp
+    )
+    ur, ui = panel_final(br, bi, tabs, precision, interp)
+    dr, di, dv = _panel_grad_tail(
+        v_slice.astype(rdt), jnp.real(psi), jnp.imag(psi), ur, -ui,
+        float(sigma), interp,
+    )
+    return jax.lax.complex(dr, di), dv.astype(v_slice.dtype), None
+
+
+panel_slice_step.defvjp(_pstep_fwd, _pstep_bwd)
+
+
+def make_panel_slice_step(ny: int, nx: int, dtype=jnp.complex64, precision=None):
+    """propagate.multislice ``slice_step`` on the panel passes — the
+    grad path at grids where no whole-plane kernel fits (2048^2)."""
+    if ny != nx:
+        raise ValueError(f"panel step needs a square grid, got ({ny}, {nx})")
+    _axis_consts(ny)
+
+    def step(psi, v_slice, propagator, sigma):
+        if jnp.iscomplexobj(v_slice):
+            from ..propagate import default_slice_step
+
+            return default_slice_step(psi, v_slice, propagator, sigma)
+        return panel_slice_step(
+            psi.astype(dtype), v_slice, propagator, sigma, precision
+        )
+
+    return step
 
 
 def _run_single(psi0, v_stack, propagator, sigma, precision, interpret):

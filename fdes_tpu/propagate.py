@@ -428,13 +428,22 @@ def make_slice_step(
     if kind in ("panel", "panel_fast"):
         if shape is None:
             raise ValueError(f"kind={kind!r} needs shape=(ny, nx)")
-        from .pallas.panel_scan import make_panel_scan
-
         # Mosaic has no Precision.HIGH lowering; bf16x3 is the hand-rolled
         # Karatsuba HIGH-class tier (fused_step._cdot)
         precision = (
             "bf16x3" if kind == "panel_fast" else jax.lax.Precision.HIGHEST
         )
+        if grad:
+            # GRAD contexts get the per-slice custom-VJP form (three
+            # panel passes forward, four backward) — composes with
+            # lax.scan + remat_chunk like the fused per-slice engines
+            from .pallas.panel_scan import make_panel_slice_step
+
+            return make_panel_slice_step(
+                *shape, dtype=dtype or jnp.complex64, precision=precision
+            )
+        from .pallas.panel_scan import make_panel_scan
+
         return make_panel_scan(
             *shape, dtype=dtype or jnp.complex64, precision=precision
         )

@@ -494,7 +494,7 @@ def test_panel_scan_matches_xla(fields, monkeypatch):
     )
     sigma = interaction_sigma(KV)
     ref = multislice(psi, v_stack, prop, sigma)
-    step = make_slice_step("panel", shape=(n, n), dtype=psi.dtype)
+    step = make_slice_step("panel", shape=(n, n), dtype=psi.dtype, grad=False)
     assert step.kind == "panel" and not step.grad_capable
     out = multislice(psi, v_stack, prop, sigma, slice_step=step)
     np.testing.assert_allclose(
@@ -511,6 +511,51 @@ def test_panel_scan_matches_xla(fields, monkeypatch):
     )
 
 
+def test_panel_slice_step_grad_matches_xla(fields, monkeypatch):
+    """The per-slice panel step's custom VJP (the 2048^2 grad path) vs
+    XLA autodiff through the scan: dV and bar_psi0, multi-panel."""
+    import fdes_tpu.pallas.panel_scan as ps
+    from fdes_tpu.propagate import make_slice_step
+
+    monkeypatch.setattr(ps, "_ROWS", 64)
+    monkeypatch.setattr(ps, "_COLS", 128)
+    psi, v, prop = fields
+    n = psi.shape[-1]
+    sigma = interaction_sigma(KV)
+    rng = np.random.default_rng(21)
+    v_stack = jnp.asarray(
+        (rng.normal(size=(3, n, n)) * 25.0).astype(np.float32)
+    )
+    step = make_slice_step("panel", shape=(n, n), dtype=psi.dtype, grad=True)
+    assert not hasattr(step, "whole_scan")
+
+    def loss_p(vv, p0):
+        out = multislice(p0, vv, prop, sigma, slice_step=step)
+        return jnp.sum(jnp.abs(out) ** 2 * jnp.real(out))
+
+    def loss_x(vv, p0):
+        out = multislice(p0, vv, prop, sigma)
+        return jnp.sum(jnp.abs(out) ** 2 * jnp.real(out))
+
+    (lp, (gv_p, gp_p)) = jax.value_and_grad(loss_p, argnums=(0, 1))(v_stack, psi)
+    (lx, (gv_x, gp_x)) = jax.value_and_grad(loss_x, argnums=(0, 1))(v_stack, psi)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(gv_x)))
+    np.testing.assert_allclose(
+        np.asarray(gv_p), np.asarray(gv_x), atol=2e-5 * scale
+    )
+    pscale = float(jnp.max(jnp.abs(gp_x)))
+    np.testing.assert_allclose(
+        np.asarray(gp_p), np.asarray(gp_x), atol=2e-5 * pscale
+    )
+    # remat composes (the per-slice engine contract at long horizons)
+    out_r = multislice(psi, v_stack, prop, sigma, slice_step=step, remat_chunk=1)
+    ref_r = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    np.testing.assert_allclose(
+        np.asarray(out_r), np.asarray(ref_r), atol=1e-6
+    )
+
+
 def test_panel_scan_single_slice_and_complex_v(fields):
     """S=1 (empty steady-state scan) and the complex absorptive-V
     fallback route of the panel engine."""
@@ -518,7 +563,7 @@ def test_panel_scan_single_slice_and_complex_v(fields):
 
     psi, v, prop = fields
     sigma = interaction_sigma(KV)
-    step = make_slice_step("panel", shape=psi.shape, dtype=psi.dtype)
+    step = make_slice_step("panel", shape=psi.shape, dtype=psi.dtype, grad=False)
     v1 = jnp.stack([v])
     out = multislice(psi, v1, prop, sigma, slice_step=step)
     ref = multislice(psi, v1, prop, sigma)
