@@ -61,14 +61,15 @@ from .fused_step import (
 )
 from .fused_scan import WholeScanEngine
 
-#: default panel extents (rows per row-panel, lanes per column-panel).
-#: 256 keeps the live set per grid step (in pair + out pair + V panel +
-#: transform transients, x2 for pipeline double-buffering) well under the
-#: 96 MiB scoped-VMEM cap at 2048^2 while panels stay big enough that the
-#: (128, r*C) base matmuls fill the MXU.  Env overrides exist for the
-#: tuning benchmark (benchmarks/ panel experiments), not for users.
-_ROWS = int(os.environ.get("FDES_PANEL_ROWS", "256"))
-_COLS = int(os.environ.get("FDES_PANEL_COLS", "256"))
+#: default panel extents (rows per row-panel, lanes per column-panel),
+#: MEASURED at 2048^2 x 64 on v5e (tpu_steps.jsonl 2026-08-21):
+#: 128-extent panels 1,761 slice-props/s vs 256's 1,673-1,685 and 512's
+#: 1,463 — smaller panels pipeline the HBM DMA against compute better,
+#: and the (128, r*C) base matmuls still fill the MXU at C=128.  64-lane
+#: column panels are INVALID (the f32 lane tile is 128).  Env overrides
+#: exist for the tuning benchmark (benchmarks/ panel experiments).
+_ROWS = int(os.environ.get("FDES_PANEL_ROWS", "128"))
+_COLS = int(os.environ.get("FDES_PANEL_COLS", "128"))
 
 
 def _row_init_kernel(
@@ -194,6 +195,12 @@ def _compiler_params():
 def _panel_sizes(n: int):
     rows = min(_ROWS, n)
     cols = min(_COLS, n)
+    if cols % 128 or rows % 8:
+        raise ValueError(
+            f"panel extents ({rows}, {cols}) break the f32 tile: column "
+            "panels need a multiple of 128 lanes, row panels a multiple "
+            "of 8 sublanes"
+        )
     return rows, cols
 
 

@@ -220,13 +220,16 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     is1024 = max(shape) == 1024 and ny == nx and grad
     fscan1024_grad = is1024 and batch <= 1
     fscan1024_grad_fast = is1024 and batch <= 8
-    # 2048² FORWARD promotes the panel-streamed engine (round 5,
-    # tpu_steps/tpu_accuracy.jsonl 2026-08-21): panel 1,003 slice-props/s
-    # at 6.0e-6 exit err / panel_fast 1,685 at 7.4e-5, vs xla 678 at the
-    # same accuracy classes — the HBM-staged MXU transform the round-4
-    # floor analysis predicted (1.5x / 2.5x).  Grad contexts keep
-    # xla + remat (no panel adjoint measured yet).
-    panel_ok = ny == nx and ny == 2048 and not grad
+    # 2048² promotes the panel-streamed engine (round 5, tpu_steps/
+    # tpu_accuracy.jsonl 2026-08-21): FORWARD panel 1,003 slice-props/s
+    # at 6.0e-6 exit err / panel_fast 1,685-1,761 at 7.4e-5, vs xla 678
+    # at the same accuracy classes — the HBM-staged MXU transform the
+    # round-4 floor analysis predicted (1.5x / 2.6x).  GRAD contexts get
+    # the per-slice panel custom-VJP step: value_and_grad of the
+    # unbatched 2048²x64 rollout 166 ms vs xla 213 (1.28x), grad-err
+    # 1.9e-5 / 1.26e-4 certified on chip.  Batched 2048² contexts keep
+    # xla (batching measured to HURT at pod grids; panel vmap unmeasured).
+    panel_ok = ny == nx and ny == 2048 and (not grad or batch <= 1)
     if kind == "auto":
         if fscan_ok:
             # fastest accuracy tier at EVERY measured batch (512²: 11.1k
