@@ -10,7 +10,7 @@ the whole slice step runs on VMEM-resident planes — HBM traffic is one
 read of (psi, V) and one write of psi per step, every butterfly/twiddle/
 matmul intermediate lives on-chip.
 
-Transform scheme per axis (length N = R * 128, R in {1, 2, 4}):
+Transform scheme per axis (length N = R * 128, R in {1..8} whole-plane, {16, 32} panel-staged):
 
     DIF radix-R butterfly + twiddle   (VPU, VMEM-resident)
     128-point DFT as (rows, 128) @ (128, 128) complex matmul
@@ -60,14 +60,14 @@ BASE = 128
 def _axis_consts(n: int):
     """Host (R, twiddle_re, twiddle_im, F_re, F_im) for one axis.
 
-    r=16 (N=2048) exists for the PANEL-staged engine (panel_scan.py),
-    whose per-panel transforms reuse this pipeline; the whole-plane
-    kernels (this file, fused_scan.py) cap at 1024 — their entry points
-    validate separately."""
+    r=16/32 (N=2048/4096) exist for the PANEL-staged engine
+    (panel_scan.py), whose per-panel transforms reuse this pipeline; the
+    whole-plane kernels (this file, fused_scan.py) cap at 1024 — their
+    entry points validate separately."""
     r = n // BASE
-    if n != r * BASE or r not in (1, 2, 4, 8, 16):
+    if n != r * BASE or r not in (1, 2, 4, 8, 16, 32):
         raise ValueError(
-            f"mixed-radix axis supports N = 128*{{1,2,4,8,16}}, got {n}"
+            f"mixed-radix axis supports N = 128*{{1,2,4,8,16,32}}, got {n}"
         )
     tw = np.exp(
         -2.0j * np.pi * np.arange(r)[:, None] * np.arange(BASE)[None, :] / n
@@ -88,14 +88,14 @@ def _cmul(ar, ai, br, bi):
 
 
 def _butterfly(parts, r: int, sign: float):
-    """Unscaled radix-2/4/8 DFT across a list of (re, im) plane pairs;
-    sign=-1.0 forward (W4 = -i), +1.0 conjugate/adjoint."""
+    """Unscaled radix-2/4/8/16/32 DFT across a list of (re, im) plane
+    pairs; sign=-1.0 forward (W4 = -i), +1.0 conjugate/adjoint."""
     if r == 1:
         return parts
     if r == 2:
         (ar, ai), (br, bi) = parts
         return [(ar + br, ai + bi), (ar - br, ai - bi)]
-    if r in (8, 16):
+    if r in (8, 16, 32):
         # Even/odd decimation: r-point DFT = two (r/2)-point DFTs + W_r
         # twiddle: X[q] = E[q%h] + W_r^q O[q%h] with W_r^q = cos(2πq/r) +
         # sign·i·sin(2πq/r); W_r^{q+h} = -W_r^q handles the upper half
