@@ -437,6 +437,149 @@ def _run_single(psi0, v_stack, propagator, sigma, precision, interpret):
     return jax.lax.complex(outr, outi)
 
 
+def _row_g_kernel(
+    g_ref, twr, twi, fr, fi, or_ref, oi_ref, *, radix, precision
+):
+    """(1, R, N) species delta panel (REAL) -> forward x-transform."""
+    zr = g_ref[0]
+    zi = jnp.zeros_like(zr)
+    zr, zi = _fft_x(
+        zr, zi, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[0] = zr
+    oi_ref[0] = zi
+
+
+def _col_build_kernel(
+    ar_ref, ai_ref, ffp_ref, twr, twi, fr, fi, or_ref, oi_ref,
+    *, radix, precision, nsp,
+):
+    """(nsp, N, C) panels: per species forward y-transform x REAL
+    pre-permuted + pre-scaled factor panel, accumulated over species,
+    then ONE inverse y-transform of the sum — the spectral half of the
+    potential build, panel-staged (the rfft2 build's MXU replacement)."""
+    accr = None
+    acci = None
+    for s in range(nsp):
+        zr, zi = _fft_y(
+            ar_ref[s], ai_ref[s], radix, twr[:], twi[:], fr[:], fi[:],
+            precision, adjoint=False,
+        )
+        ffp = ffp_ref[s]
+        zr = zr * ffp
+        zi = zi * ffp
+        accr = zr if accr is None else accr + zr
+        acci = zi if acci is None else acci + zi
+    zr, zi = _fft_y(
+        accr, acci, radix, twr[:], twi[:], fr[:], fi[:], precision,
+        adjoint=True,
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _row_vfused_kernel(
+    vxr_ref, vxi_ref, br_ref, bi_ref, twr, twi, fr, fi, or_ref, oi_ref,
+    *, sigma, radix, precision,
+):
+    """(R, N) panels: finish the potential build (inverse x-transform of
+    the V spectrum-x panel, real part) AND the propagation row work
+    (inverse x-transform of psi, transmit with the just-built V, forward
+    x-transform) in ONE HBM pass — three transforms per panel residency."""
+    vr, _ = _fft_x(
+        vxr_ref[:], vxi_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    zr, zi = _fft_x(
+        br_ref[:], bi_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    phase = sigma * vr
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    tr = zr * c - zi * s
+    ti = zr * s + zi * c
+    zr, zi = _fft_x(
+        tr, ti, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _panel_g_rowpass(g, tabs, precision, interpret):
+    nsp, n, _ = g.shape
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    panel = pl.BlockSpec((1, rows, n), lambda s, i: (s, i, 0))
+    const = lambda shp: pl.BlockSpec(shp, lambda s, i: (0,) * len(shp))  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_row_g_kernel, radix=r, precision=precision),
+        grid=(nsp, n // rows),
+        in_specs=[panel] + [const(s_) for s_ in _const_shapes(twr, fr)],
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nsp, n, n), g.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(g, twr, twi, fr, fi)
+
+
+def _panel_build_colpass(ar, ai, ffp, tabs, precision, interpret):
+    nsp, n, _ = ar.shape
+    _, cols = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    sp_panel = pl.BlockSpec((nsp, n, cols), lambda i: (0, 0, i))
+    panel = pl.BlockSpec((n, cols), lambda i: (0, i))
+    const = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp))  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(
+            _col_build_kernel, radix=r, precision=precision, nsp=nsp
+        ),
+        grid=(n // cols,),
+        in_specs=[sp_panel, sp_panel, sp_panel]
+        + [const(s_) for s_ in _const_shapes(twr, fr)],
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), ar.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(ar, ai, ffp, twr, twi, fr, fi)
+
+
+def _panel_vfused_rowpass(vxr, vxi, br, bi, tabs, sigma, precision, interpret):
+    n = br.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 4, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(
+            _row_vfused_kernel, sigma=br.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), br.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(vxr, vxi, br, bi, twr, twi, fr, fi)
+
+
+def _permuted_factors(ff_r, n, pixel, rdt):
+    """rfft-grid species factors -> FULL-grid, digit-permuted (both axes),
+    pre-scaled by inv_area/N^2 — the build col pass's real multiply
+    operand.  Hermitian symmetry reconstructs the missing half: the
+    factors are real and even in each frequency axis."""
+    r = n // BASE
+    full = jnp.concatenate(
+        [ff_r, ff_r[:, :, 1:-1][:, :, ::-1]], axis=-1
+    ).astype(rdt)
+    p = full
+    if r > 1:
+        p = p.reshape(-1, n, BASE, r).transpose(0, 1, 3, 2).reshape(-1, n, n)
+        p = p.reshape(-1, BASE, r, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
+    scale = 1.0 / (pixel[0] * pixel[1] * n * n)
+    return p * rdt.type(scale)
+
+
 def panel_streamed(
     psi0,
     atoms_xyspw,
@@ -450,17 +593,21 @@ def panel_streamed(
     interpret=None,
 ):
     """The config-5 composition (VERDICT.md round-4 items 1+7): potential
-    built ON THE FLY per slice AND the panel-staged MXU transform loop.
+    built ON THE FLY per slice AND the panel-staged MXU transform loop —
+    including the BUILD's transforms.
 
-    Because the panel engine's slice loop lives at the XLA level (unlike
-    the fscan family, whose loop is inside one kernel), the streamed
-    potential build (potential.slice_potential: bilinear scatter + rfft2
-    x species factors) slots between the column pass of slice j and the
-    row pass that transmits slice j+1 — the (S, ny, nx) stack never
-    exists and the transform still runs on the MXU.  XLA overlaps the
-    scatter/rfft2 (VPU/scalar work) with the panel kernels' MXU passes
-    where dependencies allow."""
-    from ..potential import slice_potential
+    The first measurement of this composition (c5_streamed.jsonl,
+    2026-08-21: xla 307 / panel_fast 440 slice-props/s at 2048^2 x 512)
+    showed the rfft2-based per-slice build dominating (~75% of the
+    streamed panel step), so the build rides the panel pipeline too:
+    per slice, scatter the deltas (XLA scatter-add, O(atoms)), forward
+    row pass per species (_row_g_kernel), ONE build column pass (per
+    species Fy x real pre-permuted factors, accumulate, inverse Fy), and
+    a FUSED row pass that finishes the build (inverse Fx, real part) and
+    does the propagation row work (inverse Fx of psi, transmit, forward
+    Fx) in the same panel residency.  Steady state per slice:
+    psi col pass + nsp+1 build passes + 1 fused row pass."""
+    from ..potential import scatter_slice_deltas
 
     n = psi0.shape[-1]
     interp = _resolve_interpret(interpret)
@@ -471,13 +618,21 @@ def panel_streamed(
     rdt = jnp.real(psi0).dtype
     sigma = float(sigma)
     x, y, sp, w = atoms_xyspw
+    nsp = ff_r.shape[0]
+    ffp = _permuted_factors(ff_r, n, pixel, rdt)
 
-    def build(xs, ys, sps, ws):
-        return slice_potential(
-            xs, ys, sps, ws, ff_r, shape=shape, pixel=pixel
-        ).astype(rdt)
+    def build_vx(xs, ys, sps, ws):
+        """V of one slice in spectrum-x / natural-y panel layout."""
+        g = scatter_slice_deltas(
+            xs, ys, sps, ws, nspecies=nsp, shape=shape, pixel=pixel, rdt=rdt
+        )
+        gr, gi = _panel_g_rowpass(g, tabs, precision, interp)
+        return _panel_build_colpass(gr, gi, ffp, tabs, precision, interp)
 
-    v0 = build(x[0], y[0], sp[0], w[0])
+    # slice 0: finish the build to natural space (one extra row pass),
+    # then seed the loop with transmit + forward row transform
+    vx0r, vx0i = build_vx(x[0], y[0], sp[0], w[0])
+    v0, _ = panel_final(vx0r, vx0i, tabs, precision, interp)
     ar, ai = panel_init(
         v0, jnp.real(psi0), jnp.imag(psi0), tabs, sigma, precision, interp
     )
@@ -485,8 +640,10 @@ def panel_streamed(
     def body(carry, slice_atoms):
         ar, ai = carry
         br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
-        vn = build(*slice_atoms)
-        ar, ai = panel_rowpass(vn, br, bi, tabs, sigma, precision, interp)
+        vxr, vxi = build_vx(*slice_atoms)
+        ar, ai = _panel_vfused_rowpass(
+            vxr, vxi, br, bi, tabs, sigma, precision, interp
+        )
         return (ar, ai), None
 
     (ar, ai), _ = jax.lax.scan(

@@ -242,6 +242,46 @@ def pad_atoms_per_slice(sliced: SlicedAtoms, dtype=np.float32):
     return x, y, sp, w, m
 
 
+def scatter_slice_deltas(
+    x: jax.Array,
+    y: jax.Array,
+    species_idx: jax.Array,
+    weight: jax.Array,
+    *,
+    nspecies: int,
+    shape: tuple[int, int],
+    pixel: tuple[float, float],
+    rdt,
+) -> jax.Array:
+    """Bilinear periodic scatter of ONE slice's (padded) atoms onto
+    per-species (nspecies, ny, nx) delta grids — the shared front half of
+    slice_potential, also consumed by the panel-staged streamed build
+    (pallas/panel_scan.py), which replaces the rfft2 back half with MXU
+    panel transforms."""
+    ny, nx = shape
+    py, px = pixel
+    fy = y.astype(rdt) / rdt.type(py)
+    fx = x.astype(rdt) / rdt.type(px)
+    iy0 = jnp.floor(fy)
+    ix0 = jnp.floor(fx)
+    wy1 = fy - iy0
+    wx1 = fx - ix0
+    iy0 = iy0.astype(jnp.int32)
+    ix0 = ix0.astype(jnp.int32)
+    w = weight.astype(rdt)
+    idxs = []
+    vals = []
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        iy = jnp.mod(iy0 + dy, ny)
+        ix = jnp.mod(ix0 + dx, nx)
+        cw = (wy1 if dy else 1.0 - wy1) * (wx1 if dx else 1.0 - wx1)
+        idxs.append((species_idx * ny + iy) * nx + ix)
+        vals.append(w * cw)
+    g = jnp.zeros((nspecies * ny * nx,), rdt)
+    g = g.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals))
+    return g.reshape(nspecies, ny, nx)
+
+
 def slice_potential(
     x: jax.Array,
     y: jax.Array,
@@ -260,28 +300,11 @@ def slice_potential(
     """
     ny, nx = shape
     py, px = pixel
-    nsp = ff_r.shape[0]
     rdt = ff_r.dtype
-    fy = y.astype(rdt) / rdt.type(py)
-    fx = x.astype(rdt) / rdt.type(px)
-    iy0 = jnp.floor(fy)
-    ix0 = jnp.floor(fx)
-    wy1 = fy - iy0
-    wx1 = fx - ix0
-    iy0 = iy0.astype(jnp.int32)
-    ix0 = ix0.astype(jnp.int32)
-    w = weight.astype(rdt)
-    idxs = []
-    vals = []
-    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        iy = jnp.mod(iy0 + dy, ny)
-        ix = jnp.mod(ix0 + dx, nx)
-        cw = (wy1 if dy else 1.0 - wy1) * (wx1 if dx else 1.0 - wx1)
-        idxs.append((species_idx * ny + iy) * nx + ix)
-        vals.append(w * cw)
-    g = jnp.zeros((nsp * ny * nx,), rdt)
-    g = g.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals))
-    g = g.reshape(nsp, ny, nx)
+    g = scatter_slice_deltas(
+        x, y, species_idx, weight, nspecies=ff_r.shape[0], shape=shape,
+        pixel=pixel, rdt=rdt,
+    )
     vq = jnp.sum(jnp.fft.rfft2(g) * ff_r.astype(jnp.fft.rfft2(g).dtype), axis=0)
     inv_area = rdt.type(1.0 / (py * px))
     return jnp.fft.irfft2(vq, s=(ny, nx)) * inv_area

@@ -186,6 +186,51 @@ def test_streamed_composes_with_engine_table(si110_config1):
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref), atol=1e-11)
 
 
+def test_streamed_panel_build_multispecies(si110_small):
+    """The panel-staged streamed potential build (panel_scan: per-species
+    row pass + accumulate-in-column-pass + fused V/psi row pass) equals
+    the rfft2 build with MULTIPLE species — exercises the per-species
+    accumulation and the Hermitian full-grid factor reconstruction."""
+    import jax.numpy as jnp
+
+    from fdes_tpu.constants import interaction_sigma, wavelength_A
+    from fdes_tpu.grids import Grid, fresnel_propagator
+    from fdes_tpu.potential import pad_atoms_per_slice, species_factors_rfft
+    from fdes_tpu.propagate import make_slice_step, multislice_streamed
+    from fdes_tpu.specimen import SlicedAtoms
+
+    rng = np.random.default_rng(4)
+    n, nat, s = 256, 60, 3
+    grid = Grid(n, n, 0.21, 0.23)
+    sliced = SlicedAtoms(
+        x=rng.uniform(0, n * 0.23, nat),
+        y=rng.uniform(0, n * 0.21, nat),
+        slice_idx=rng.integers(0, s, nat).astype(np.int32),
+        species_idx=rng.integers(0, 2, nat).astype(np.int32),
+        weight=np.ones(nat),
+        species=((14, 0.4), (31, 0.6)),
+        nslices=s,
+        dz=1.9,
+    )
+    x, y, sp, w, _ = pad_atoms_per_slice(sliced, np.float32)
+    atoms = tuple(jnp.asarray(a) for a in (x, y, sp, w))
+    ff = jnp.asarray(species_factors_rfft(grid, sliced.species).astype(np.float32))
+    lam = wavelength_A(300e3)
+    sigma = interaction_sigma(300e3)
+    prop = jnp.asarray(fresnel_propagator(grid, lam, sliced.dz).astype(np.complex64))
+    psi0 = jnp.ones((n, n), jnp.complex64)
+    kw = dict(shape=grid.shape, pixel=(grid.py, grid.px))
+    ref = multislice_streamed(psi0, atoms, ff, prop, sigma, **kw)
+    step = make_slice_step("panel", shape=(n, n))
+    out = multislice_streamed(
+        psi0, atoms, ff, prop, sigma, slice_step=step, **kw
+    )
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-6 * scale
+    )
+
+
 def test_exact_matmul_builder_matches_golden(si110_small):
     """MXU exact-phase builder == golden exact-phase summation (f64)."""
     import jax.numpy as jnp
