@@ -256,6 +256,11 @@ def make_fused_scan(
                 # fused adjoint (composes with lax.scan + remat).
                 from .adjoint_scan import _STORE_CAP_BYTES
 
+                # Per-lane semantics under vmap (ADVICE.md round 4): a
+                # vmapped wave sees bb=1 here while the batched kernel
+                # stores B x this estimate; product paths stay safe via
+                # pick_probe_chunk's 1-wave cap at >=1024^2 (see
+                # adjoint_scan.scan_diff_apply's budget note).
                 bb = 1 if psi0.ndim == 2 else psi0.shape[0]
                 if bb * v_stack.shape[0] * ny * nx * 8 > _STORE_CAP_BYTES:
                     from .fused_step import make_fused_slice_step
