@@ -35,17 +35,25 @@ RESULTS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "results", "priors_study.jsonl"
 )
 
-#: unit -> (ntilt, ndef, tik_weight, tv_weight, project, iters)
+#: unit -> (ntilt, ndef, tik_weight, tv_weight, project, iters, rings)
+#: rings: tilt magnitudes (rad) the azimuths cycle through — a single
+#: 0.02-rad cone (the round-4-style pose) encodes depth weakly; the
+#: 2-ring poses separate pose-information limits from prior effects.
 UNITS = {
-    "unreg": (24, 2, 0.0, 0.0, False, 1500),
-    "pos": (24, 2, 0.0, 0.0, True, 1500),
-    "tik6": (24, 2, 1e-6, 0.0, True, 1500),
-    "tik4": (24, 2, 1e-4, 0.0, True, 1500),
-    "tv4": (24, 2, 0.0, 1e-4, True, 1500),
-    "tv2": (24, 2, 0.0, 1e-2, True, 1500),
-    "tik6tv4": (24, 2, 1e-6, 1e-4, True, 1500),
-    "rich-unreg": (48, 3, 0.0, 0.0, False, 2000),
-    "rich-reg": (48, 3, 1e-6, 1e-4, True, 2000),
+    "unreg": (24, 2, 0.0, 0.0, False, 1500, (0.02,)),
+    "pos": (24, 2, 0.0, 0.0, True, 1500, (0.02,)),
+    "tik6": (24, 2, 1e-6, 0.0, True, 1500, (0.02,)),
+    "tik4": (24, 2, 1e-4, 0.0, True, 1500, (0.02,)),
+    "tv4": (24, 2, 0.0, 1e-4, True, 1500, (0.02,)),
+    "tv2": (24, 2, 0.0, 1e-2, True, 1500, (0.02,)),
+    "tik6tv4": (24, 2, 1e-6, 1e-4, True, 1500, (0.02,)),
+    "rich-unreg": (48, 3, 0.0, 0.0, False, 2000, (0.02,)),
+    "rich-reg": (48, 3, 1e-6, 1e-4, True, 2000, (0.02,)),
+    "ring2-unreg": (24, 2, 0.0, 0.0, False, 1500, (0.02, 0.06)),
+    "ring2-pos": (24, 2, 0.0, 0.0, True, 1500, (0.02, 0.06)),
+    "ring2-tv4": (24, 2, 0.0, 1e-4, True, 1500, (0.02, 0.06)),
+    "ring2-rich-unreg": (48, 3, 0.0, 0.0, False, 2000, (0.02, 0.06)),
+    "ring2-rich-reg": (48, 3, 0.0, 1e-4, True, 2000, (0.02, 0.06)),
 }
 
 
@@ -100,10 +108,13 @@ def main():
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
 
     for unit in units:
-        ntilt, ndef, tikw, tvw, proj, iters = UNITS[unit]
+        ntilt, ndef, tikw, tvw, proj, iters, rings = UNITS[unit]
         iters = max(int(iters * iter_scale), 8)
         angs = np.linspace(0.0, np.pi, ntilt, endpoint=False)
-        tilts = [(0.02 * np.cos(a), 0.02 * np.sin(a)) for a in angs]
+        tilts = [
+            (rings[i % len(rings)] * np.cos(a), rings[i % len(rings)] * np.sin(a))
+            for i, a in enumerate(angs)
+        ]
         props = safe_put(
             np.stack(
                 [
@@ -166,7 +177,8 @@ def main():
         rec = {
             "unit": unit,
             "workload": f"{n}^2 x {nslices} slices, {ntilt} tilts x {ndef} "
-                        "defoci, lbfgs" + (" + positivity" if proj else ""),
+                        f"defoci (rings {rings} rad), lbfgs"
+                        + (" + positivity" if proj else ""),
             "tik_weight": tikw,
             "tv_weight": tvw,
             "project": proj,
