@@ -33,11 +33,15 @@ pre-permuted in both axes and 1/N^2-folded, fused_step._prepared_prop),
 and the inverse-row + next-transmit + forward-row fusion makes the row
 work of two adjacent slices ONE pass.
 
-FORWARD-ONLY, square grids, N = r*128 with r in {2, 4, 8, 16}; real V.
-Grad contexts at 2048^2 keep xla + remat (make_slice_step routing) until
-a panel-staged adjoint is measured.  The building blocks (panel_init /
-panel_colpass / panel_rowpass / panel_final) are module-level so the
-streamed forward (potential built on the fly) can compose with them.
+Square grids, N = r*128 with r in {2, 4, 8, 16, 32}; real V.  The
+whole-loop engine (make_panel_scan) is forward-only; GRAD contexts ride
+panel_slice_step — the per-slice custom-VJP form (3 passes forward, the
+conjugated pipeline + an elementwise tail backward) that composes with
+lax.scan + remat: 2048^2 value_and_grad measured 166 ms vs xla 213 at 64
+slices, grad-err 1.9e-5/1.26e-4 certified on chip.  The building blocks
+(panel_init / panel_colpass / panel_rowpass / panel_final) are
+module-level so the streamed forward (potential built on the fly,
+panel_streamed — including a panel-staged BUILD) composes with them.
 """
 
 from __future__ import annotations
@@ -182,13 +186,13 @@ def _col_kernel(
     oi_ref[:] = zi
 
 
-def _compiler_params():
+def _compiler_params(ndims: int = 1):
     # panels are independent -> 'parallel' grid semantics (Mosaic may
     # reorder/overlap grid steps; the kernels carry no cross-panel carry)
     sem = os.environ.get("FDES_PANEL_SEMANTICS", "parallel")
     return pltpu.CompilerParams(
         vmem_limit_bytes=96 * 1024 * 1024,
-        dimension_semantics=(sem,),
+        dimension_semantics=(sem,) * ndims,
     )
 
 
@@ -518,7 +522,7 @@ def _panel_g_rowpass(g, tabs, precision, interpret):
         in_specs=[panel] + [const(s_) for s_ in _const_shapes(twr, fr)],
         out_specs=[panel] * 2,
         out_shape=[jax.ShapeDtypeStruct((nsp, n, n), g.dtype)] * 2,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(2),
         interpret=interpret,
     )(g, twr, twi, fr, fi)
 
