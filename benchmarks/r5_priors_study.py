@@ -50,6 +50,14 @@ UNITS = {
     "rich-unreg": (48, 3, 0.0, 0.0, False, 2000, (0.02,)),
     "rich-reg": (48, 3, 1e-6, 1e-4, True, 2000, (0.02,)),
     "ring2-unreg": (24, 2, 0.0, 0.0, False, 1500, (0.02, 0.06)),
+    # depth sweep: same pose, fewer slices — localises the plateau's
+    # growth with the depth null space and what priors do to it
+    "depth2-unreg": (24, 2, 0.0, 0.0, False, 1500, (0.02, 0.06), 2),
+    "depth2-tv4": (24, 2, 0.0, 1e-4, True, 1500, (0.02, 0.06), 2),
+    "depth4-unreg": (24, 2, 0.0, 0.0, False, 1500, (0.02, 0.06), 4),
+    "depth4-tv4": (24, 2, 0.0, 1e-4, True, 1500, (0.02, 0.06), 4),
+    "depth8-unreg": (24, 2, 0.0, 0.0, False, 1500, (0.02, 0.06), 8),
+    "depth8-tv4": (24, 2, 0.0, 1e-4, True, 1500, (0.02, 0.06), 8),
     "ring2-pos": (24, 2, 0.0, 0.0, True, 1500, (0.02, 0.06)),
     "ring2-tv4": (24, 2, 0.0, 1e-4, True, 1500, (0.02, 0.06)),
     "ring2-rich-unreg": (48, 3, 0.0, 0.0, False, 2000, (0.02, 0.06)),
@@ -103,12 +111,13 @@ def main():
     spec = f.make_si110_supercell(reps=(4, 3, 3))
     lx, ly, lz = spec.box
     grid = Grid(ny=n, nx=n, py=ly / n, px=lx / n)
-    sliced = f.slice_specimen(spec, nslices=nslices, dz=float(lz) / nslices)
-    v_true_host = np.asarray(build_potential(sliced, grid, dtype=np.float32))
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
 
     for unit in units:
-        ntilt, ndef, tikw, tvw, proj, iters, rings = UNITS[unit]
+        ntilt, ndef, tikw, tvw, proj, iters, rings, *rest = UNITS[unit]
+        nsl = rest[0] if rest else nslices
+        sliced = f.slice_specimen(spec, nslices=nsl, dz=float(lz) / nsl)
+        v_true_host = np.asarray(build_potential(sliced, grid, dtype=np.float32))
         iters = max(int(iters * iter_scale), 8)
         angs = np.linspace(0.0, np.pi, ntilt, endpoint=False)
         tilts = [
@@ -156,7 +165,7 @@ def main():
         t0 = time.time()
         res = reconstruct(
             loss_fn,
-            jnp.zeros((nslices, n, n), jnp.float32),
+            jnp.zeros((nsl, n, n), jnp.float32),
             loss_args=(psi0, props, ctfs, i_obs),
             iterations=iters,
             optimizer=make_optimizer("lbfgs"),
@@ -176,7 +185,7 @@ def main():
         )
         rec = {
             "unit": unit,
-            "workload": f"{n}^2 x {nslices} slices, {ntilt} tilts x {ndef} "
+            "workload": f"{n}^2 x {nsl} slices, {ntilt} tilts x {ndef} "
                         f"defoci (rings {rings} rad), lbfgs"
                         + (" + positivity" if proj else ""),
             "tik_weight": tikw,
