@@ -258,7 +258,14 @@ def test_make_slice_step_auto_tiers():
     # (117 vs xla 417 ms at b8); the HIGHEST variant VMEM-fails batched
     assert _resolve_auto("auto_fast", (1024, 1024), True, 8) == "fscan_fast"
     assert _resolve_auto("auto", (1024, 1024), True, 8) == "xla"
-    assert _resolve_auto("auto", (2048, 2048), True, 1) == "xla"
+    # 2048^2 (round 5): the panel-streamed engine takes the pod grid —
+    # forward at any batch (1,003/1,761 vs xla 678; batched waves run as
+    # a sequential lax.map since batching HURTS at pod grids), grad
+    # unbatched only (166 ms vs xla 213; panel vmap unmeasured)
+    assert _resolve_auto("auto", (2048, 2048), True, 1) == "panel"
+    assert _resolve_auto("auto_fast", (2048, 2048), True, 1) == "panel_fast"
+    assert _resolve_auto("auto", (2048, 2048), False, 1) == "panel"
+    assert _resolve_auto("auto_fast", (2048, 2048), False, 8) == "panel_fast"
     # non-128*2^m axes cannot take the radix engines: fall back, never crash
     assert _resolve_auto("auto", (384, 384), True, 16) == "mxu"
     assert _resolve_auto("auto_fast", (384, 384), True, 16) == "mxu_fast"
