@@ -35,10 +35,10 @@ work of two adjacent slices ONE pass.
 
 Square grids, N = r*128 with r in {2, 4, 8, 16, 32}; real V.  The
 whole-loop engine (make_panel_scan) is forward-only; GRAD contexts ride
-panel_slice_step — the per-slice custom-VJP form (3 passes forward, the
-conjugated pipeline + an elementwise tail backward) that composes with
-lax.scan + remat: 2048^2 value_and_grad measured 166 ms vs xla 213 at 64
-slices, grad-err 1.9e-5/1.26e-4 certified on chip.  The building blocks
+panel_slice_step — the per-slice custom-VJP form (3 passes forward, 3
+backward with the tail fused into the final row pass) that composes with
+lax.scan + remat: 2048^2 value_and_grad measured 166 ms (4-pass bwd) vs
+xla 213 at 64 slices, grad-err 1.9e-5/1.26e-4 certified on chip.  The building blocks
 (panel_init / panel_colpass / panel_rowpass / panel_final) are
 module-level so the streamed forward (potential built on the fly,
 panel_streamed — including a panel-staged BUILD) composes with them.
@@ -144,18 +144,25 @@ def _row_fwd_kernel(
     oi_ref[:] = zi
 
 
-def _grad_tail_kernel(
-    v_ref, pr_ref, pi_ref, bsr_ref, bsi_ref, dr_ref, di_ref, dv_ref,
-    *, sigma,
+def _row_bwd_tail_kernel(
+    v_ref, pr_ref, pi_ref, br_ref, bi_ref, twr, twi, fr, fi,
+    dr_ref, di_ref, dv_ref, *, sigma, radix, precision,
 ):
-    """(R, N) elementwise tail of the per-slice adjoint: from bar_s, psi
-    and V compute bar_psi = bar_s * t and bar_V = -sigma*Im(bar_s*t*psi)
-    (fused_step._bwd_kernel's tail, panel-staged)."""
+    """(R, N) panels: the backward's FINAL row pass fused with its
+    elementwise tail — inverse x-transform of the conj-pipeline output
+    (u; bar_s = conj(u)), then bar_psi = bar_s * t and
+    bar_V = -sigma*Im(bar_s*t*psi) (fused_step._bwd_kernel's tail) in
+    the same panel residency: the per-slice adjoint is 3 passes, like
+    the forward."""
+    ur, ui = _fft_x(
+        br_ref[:], bi_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    bsr = ur
+    bsi = -ui
     phase = sigma * v_ref[:]
     c = jnp.cos(phase)
     s = jnp.sin(phase)
-    bsr = bsr_ref[:]
-    bsi = bsi_ref[:]
     dr_ref[:] = bsr * c - bsi * s
     di_ref[:] = bsr * s + bsi * c
     pr = pr_ref[:]
@@ -312,19 +319,23 @@ def panel_rowfwd(ar, ai, tabs, precision, interpret):
     )(ar, ai, twr, twi, fr, fi)
 
 
-def _panel_grad_tail(v, pr, pi, bsr, bsi, sigma, interpret):
+def _panel_bwd_tail(v, pr, pi, br, bi, tabs, sigma, precision, interpret):
     n = pr.shape[-1]
     rows, _ = _panel_sizes(n)
-    panel = pl.BlockSpec((rows, n), lambda i: (i, 0))
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 5, _const_shapes(twr, fr))
     return pl.pallas_call(
-        functools.partial(_grad_tail_kernel, sigma=pr.dtype.type(sigma)),
+        functools.partial(
+            _row_bwd_tail_kernel, sigma=pr.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
         grid=(n // rows,),
-        in_specs=[panel] * 5,
+        in_specs=in_specs,
         out_specs=[panel] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, n), pr.dtype)] * 3,
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(v, pr, pi, bsr, bsi)
+    )(v, pr, pi, br, bi, twr, twi, fr, fi)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -338,8 +349,9 @@ def panel_slice_step(
 
     Composes with lax.scan + remat_chunk exactly like the fused per-slice
     engines; the backward is the same panel pipeline run on conjugated
-    planes (fused_step.py's bilinear-vjp algebra) plus one elementwise
-    tail pass, so a value_and_grad slice step is 3 + 4 panel passes."""
+    planes (fused_step.py's bilinear-vjp algebra) with the elementwise
+    tail FUSED into its final row pass, so a value_and_grad slice step is
+    3 + 3 panel passes."""
     return _pstep_fwd_only(psi, v_slice, propagator, sigma, precision, interpret)
 
 
@@ -383,10 +395,9 @@ def _pstep_bwd(sigma, precision, interpret, res, g):
     br, bi = panel_colpass(
         ar, ai, jnp.real(pl_c), -jnp.imag(pl_c), tabs, precision, interp
     )
-    ur, ui = panel_final(br, bi, tabs, precision, interp)
-    dr, di, dv = _panel_grad_tail(
-        v_slice.astype(rdt), jnp.real(psi), jnp.imag(psi), ur, -ui,
-        float(sigma), interp,
+    dr, di, dv = _panel_bwd_tail(
+        v_slice.astype(rdt), jnp.real(psi), jnp.imag(psi), br, bi, tabs,
+        float(sigma), precision, interp,
     )
     return jax.lax.complex(dr, di), dv.astype(v_slice.dtype), None
 
