@@ -511,6 +511,45 @@ def test_panel_scan_matches_xla(fields, monkeypatch):
     )
 
 
+def test_panel_scan_tilt_series_vmap(fields, monkeypatch):
+    """vmap over (wave, propagator) — the tilt-series shape — composes
+    with the panel whole-loop engine via pallas auto-batching."""
+    import fdes_tpu.pallas.panel_scan as ps
+    from fdes_tpu.propagate import make_slice_step
+
+    monkeypatch.setattr(ps, "_ROWS", 64)
+    monkeypatch.setattr(ps, "_COLS", 128)
+    psi, v, prop = fields
+    n = psi.shape[-1]
+    sigma = interaction_sigma(KV)
+    rng = np.random.default_rng(13)
+    v_stack = jnp.asarray((rng.normal(size=(2, n, n)) * 25.0).astype(np.float32))
+    grid = Grid(ny=n, nx=n, py=0.3, px=0.3)
+    props = jnp.stack(
+        [
+            jnp.asarray(
+                fresnel_propagator(
+                    grid, wavelength_A(KV), 1.8, tilt_xy_rad=(t, 0.01)
+                ).astype(np.complex64)
+            )
+            for t in (0.0, 0.01, 0.02)
+        ]
+    )
+    psi_b = jnp.stack([psi, 1j * psi, psi.conj()])
+    step = make_slice_step("panel", shape=(n, n), dtype=psi.dtype, grad=False)
+    out = jax.vmap(
+        lambda p0, pr: multislice(p0, v_stack, pr, sigma, slice_step=step)
+    )(psi_b, props)
+    ref = jax.vmap(lambda p0, pr: multislice(p0, v_stack, pr, sigma))(
+        psi_b, props
+    )
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(ref),
+        atol=5e-6 * float(jnp.max(jnp.abs(ref))),
+    )
+
+
 def test_panel_slice_step_grad_matches_xla(fields, monkeypatch):
     """The per-slice panel step's custom VJP (the 2048^2 grad path) vs
     XLA autodiff through the scan: dV and bar_psi0, multi-panel."""
