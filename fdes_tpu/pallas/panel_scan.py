@@ -119,6 +119,31 @@ def _row_mid_kernel(
     oi_ref[:] = zi
 
 
+def _row_mid_stack_kernel(
+    j_ref, v_ref, ar_ref, ai_ref, twr, twi, fr, fi, or_ref, oi_ref,
+    *, sigma, radix, precision,
+):
+    """_row_mid_kernel with V panels DMA'd straight out of the full
+    (S, n, n) stack via a scalar-prefetched slice index: the lax.scan
+    over slices otherwise materialises a dynamic-slice COPY of each
+    16 MiB V slice per iteration — a panel_fast trace measured those
+    copies at ~15% of the 2048^2 rollout's device time."""
+    zr, zi = _fft_x(
+        ar_ref[:], ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    phase = sigma * v_ref[0]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    tr = zr * c - zi * s
+    ti = zr * s + zi * c
+    zr, zi = _fft_x(
+        tr, ti, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
 def _row_final_kernel(
     ar_ref, ai_ref, twr, twi, fr, fi, or_ref, oi_ref, *, radix, precision
 ):
@@ -266,6 +291,40 @@ def panel_colpass(ar, ai, plr, pli, tabs, precision, interpret):
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(ar, ai, plr, pli, twr, twi, fr, fi)
+
+
+def panel_rowpass_stack(j, v_stack, br, bi, tabs, sigma, precision, interpret):
+    """panel_rowpass reading V_{j} straight from the (S, n, n) stack
+    (scalar-prefetched index — no per-slice XLA dynamic-slice copy)."""
+    n = br.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    panel = pl.BlockSpec((rows, n), lambda i, j_ref: (i, 0))
+    const = lambda shp: pl.BlockSpec(shp, lambda i, j_ref: (0,) * len(shp))  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // rows,),
+        in_specs=[
+            pl.BlockSpec((1, rows, n), lambda i, j_ref: (j_ref[0], i, 0)),
+            panel,
+            panel,
+            const(twr.shape),
+            const(twi.shape),
+            const(fr.shape),
+            const(fi.shape),
+        ],
+        out_specs=[panel] * 2,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _row_mid_stack_kernel, sigma=br.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, n), br.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(jnp.asarray(j, jnp.int32).reshape(1), v_stack, br, bi, twr, twi, fr, fi)
 
 
 def panel_rowpass(v_next, br, bi, tabs, sigma, precision, interpret):
@@ -440,13 +499,22 @@ def _run_single(psi0, v_stack, propagator, sigma, precision, interpret):
         interp,
     )
 
-    def body(carry, v_next):
+    def body(carry, j):
         ar, ai = carry
         br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
-        ar, ai = panel_rowpass(v_next, br, bi, tabs, sigma, precision, interp)
+        # V_j panels stream straight from the stack (scalar-prefetched
+        # index): scanning over v_stack as xs costs a 16 MiB
+        # dynamic-slice COPY per slice (~15% of device time in the
+        # panel_fast trace)
+        ar, ai = panel_rowpass_stack(
+            j, v_stack, br, bi, tabs, sigma, precision, interp
+        )
         return (ar, ai), None
 
-    (ar, ai), _ = jax.lax.scan(body, (ar, ai), v_stack[1:])
+    s_len = v_stack.shape[0]
+    (ar, ai), _ = jax.lax.scan(
+        body, (ar, ai), jnp.arange(1, s_len, dtype=jnp.int32)
+    )
     br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
     outr, outi = panel_final(br, bi, tabs, precision, interp)
     return jax.lax.complex(outr, outi)
