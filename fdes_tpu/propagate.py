@@ -220,16 +220,23 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     is1024 = max(shape) == 1024 and ny == nx and grad
     fscan1024_grad = is1024 and batch <= 1
     fscan1024_grad_fast = is1024 and batch <= 8
-    # 2048² promotes the panel-streamed engine (round 5, tpu_steps/
-    # tpu_accuracy.jsonl 2026-08-21): FORWARD panel 1,003 slice-props/s
-    # at 6.0e-6 exit err / panel_fast 1,685-1,761 at 7.4e-5, vs xla 678
-    # at the same accuracy classes — the HBM-staged MXU transform the
-    # round-4 floor analysis predicted (1.5x / 2.6x).  GRAD contexts get
-    # the per-slice panel custom-VJP step: value_and_grad of the
-    # unbatched 2048²x64 rollout 166 ms vs xla 213 (1.28x), grad-err
-    # 1.9e-5 / 1.26e-4 certified on chip.  Batched 2048² contexts keep
-    # xla (batching measured to HURT at pod grids; panel vmap unmeasured).
-    panel_ok = ny == nx and ny == 2048 and (not grad or batch <= 1)
+    # 2048²/4096² promote the panel-streamed engine (round 5, tpu_steps/
+    # tpu_accuracy.jsonl 2026-08-21): FORWARD at 2048² panel 1,003
+    # slice-props/s at 6.0e-6 exit err / panel_fast 1,761 at 7.4e-5, vs
+    # xla 678 at the same accuracy classes — the HBM-staged MXU transform
+    # the round-4 floor analysis predicted (1.5x / 2.6x); at 4096²
+    # panel 246 at 1.9e-6 / panel_fast 378 at 3.6e-5 vs xla 96.8 (3.9x).
+    # GRAD contexts at 2048² get the per-slice panel custom-VJP step:
+    # value_and_grad of the unbatched 2048²x64 rollout 147.8 ms vs xla
+    # 213 (1.44x), grad-err 1.9e-5 / 1.26e-4 certified on chip; 4096²
+    # grad stays on xla (unmeasured).  Batched grad contexts keep xla
+    # (batching measured to HURT at pod grids; panel grad vmap
+    # unmeasured — batched FORWARD runs as a sequential lax.map and
+    # keeps the panel win).
+    panel_ok = ny == nx and (
+        (ny == 2048 and (not grad or batch <= 1))
+        or (ny == 4096 and not grad)
+    )
     if kind == "auto":
         if fscan_ok:
             # fastest accuracy tier at EVERY measured batch (512²: 11.1k
