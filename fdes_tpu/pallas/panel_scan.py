@@ -464,9 +464,337 @@ def _pstep_bwd(sigma, precision, interpret, res, g):
 panel_slice_step.defvjp(_pstep_fwd, _pstep_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Whole-loop panel adjoint (store-s): the 2048^2 inverse on 2+2 passes/slice
+#
+# The per-slice custom-VJP form costs 3 forward + 3 backward passes per
+# slice.  Differentiating the LOOP as one custom_vjp keeps the forward on
+# the whole-loop 2-pass structure (the row passes additionally write the
+# post-transmit wave s_j = t_j psi_j — adjoint_scan.py's store-s residual,
+# dV = -sigma*Im(bar_s * s)) and runs the backward as the transposed loop:
+# per slice one column pass (C^T = conj-sandwiched colpass, signs folded
+# in-kernel) and one row pass (bar_s extraction + dV + t-multiply +
+# forward transform).  Transpose algebra: with symmetric DFT matrices and
+# digit permutations Pi, (Pi F)^T = F Pi^-1 = conj(adjoint_op(conj(.))) —
+# every conjugation is an in-kernel imag-plane negation, fused by Mosaic.
+# ---------------------------------------------------------------------------
+
+
+def _row_init_store_kernel(
+    v_ref, pr_ref, pi_ref, twr, twi, fr, fi, or_ref, oi_ref, sr_ref, si_ref,
+    *, sigma, radix, precision,
+):
+    """_row_init_kernel + store of s_0 = t_0 psi_0 (natural space)."""
+    phase = sigma * v_ref[:]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    zr = pr * c - pi * s
+    zi = pr * s + pi * c
+    sr_ref[:] = zr
+    si_ref[:] = zi
+    zr, zi = _fft_x(
+        zr, zi, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _row_mid_store_kernel(
+    j_ref, v_ref, ar_ref, ai_ref, twr, twi, fr, fi,
+    or_ref, oi_ref, sr_ref, si_ref, *, sigma, radix, precision,
+):
+    """_row_mid_stack_kernel + store of s_j (natural space)."""
+    zr, zi = _fft_x(
+        ar_ref[:], ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    phase = sigma * v_ref[0]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    tr = zr * c - zi * s
+    ti = zr * s + zi * c
+    sr_ref[:] = tr
+    si_ref[:] = ti
+    zr, zi = _fft_x(
+        tr, ti, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _col_bwd_kernel(
+    ar_ref, ai_ref, plr_ref, pli_ref, twr, twi, fr, fi, or_ref, oi_ref,
+    *, radix, precision,
+):
+    """C^T = [F Pi^-1] P_l [Pi conj(F)] on (N, C) panels: the transposed
+    column pass, every conjugation an in-kernel sign flip."""
+    # Pi conj(F) x = conj(fwd_op(conj x))
+    zr, zi = _fft_y(
+        ar_ref[:], -ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=False,
+    )
+    zr, zi = zr, -zi
+    plr = plr_ref[:]
+    pli = pli_ref[:]
+    tr = zr * plr - zi * pli
+    ti = zr * pli + zi * plr
+    # F Pi^-1 y = conj(adjoint_op(conj y))
+    zr, zi = _fft_y(
+        tr, -ti, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=True
+    )
+    or_ref[:] = zr
+    oi_ref[:] = -zi
+
+
+def _row_bwd_loop_kernel(
+    j_ref, v_ref, sr_ref, si_ref, ar_ref, ai_ref, twr, twi, fr, fi,
+    or_ref, oi_ref, dv_ref, *, sigma, radix, precision,
+):
+    """Transposed row pass of slice j: from bar_a_j (digit space) extract
+    bar_s = conj(adjoint_op(conj(bar_a))), write dV_j = -sigma*Im(bar_s *
+    s_j) (s_j prefetch-indexed from the stored stack), multiply t_j
+    (bilinear — no conj), and emit bar_b_{j-1} = conj(fwd_op(conj(.)))."""
+    wr, wi = _fft_x(
+        ar_ref[:], -ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    bsr = wr
+    bsi = -wi
+    sr = sr_ref[0]
+    si = si_ref[0]
+    dv_ref[:] = -sigma * (bsr * si + bsi * sr)
+    phase = sigma * v_ref[0]
+    c = jnp.cos(phase)
+    sn = jnp.sin(phase)
+    pr = bsr * c - bsi * sn
+    pi = bsr * sn + bsi * c
+    yr, yi = _fft_x(
+        pr, -pi, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = yr
+    oi_ref[:] = -yi
+
+
+def _row_bwd_last_kernel(
+    v_ref, sr_ref, si_ref, ar_ref, ai_ref, twr, twi, fr, fi,
+    dr_ref, di_ref, dv_ref, *, sigma, radix, precision,
+):
+    """Transpose of the INIT pass (slice 0): bar_s extraction + dV_0 +
+    t_0-multiply; the psi0 cotangent leaves in natural space."""
+    wr, wi = _fft_x(
+        ar_ref[:], -ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    bsr = wr
+    bsi = -wi
+    sr = sr_ref[:]
+    si = si_ref[:]
+    dv_ref[:] = -sigma * (bsr * si + bsi * sr)
+    phase = sigma * v_ref[:]
+    c = jnp.cos(phase)
+    sn = jnp.sin(phase)
+    dr_ref[:] = bsr * c - bsi * sn
+    di_ref[:] = bsr * sn + bsi * c
+
+
+def _panel_rowpass_init_store(v0, psir, psii, tabs, sigma, precision, interp):
+    n = psir.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 3, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(
+            _row_init_store_kernel, sigma=psir.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=[panel] * 4,
+        out_shape=[jax.ShapeDtypeStruct((n, n), psir.dtype)] * 4,
+        compiler_params=_compiler_params(),
+        interpret=interp,
+    )(v0, psir, psii, twr, twi, fr, fi)
+
+
+def _panel_rowpass_mid_store(j, v_stack, br, bi, tabs, sigma, precision, interp):
+    n = br.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    panel = pl.BlockSpec((rows, n), lambda i, j_ref: (i, 0))
+    const = lambda shp: pl.BlockSpec(shp, lambda i, j_ref: (0,) * len(shp))  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // rows,),
+        in_specs=[
+            pl.BlockSpec((1, rows, n), lambda i, j_ref: (j_ref[0], i, 0)),
+            panel, panel,
+            const(twr.shape), const(twi.shape), const(fr.shape), const(fi.shape),
+        ],
+        out_specs=[panel] * 4,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _row_mid_store_kernel, sigma=br.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, n), br.dtype)] * 4,
+        compiler_params=_compiler_params(),
+        interpret=interp,
+    )(jnp.asarray(j, jnp.int32).reshape(1), v_stack, br, bi, twr, twi, fr, fi)
+
+
+def _panel_col_bwd(ar, ai, plr, pli, tabs, precision, interp):
+    n = ar.shape[-1]
+    _, cols = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _col_specs(n, cols, 4, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(_col_bwd_kernel, radix=r, precision=precision),
+        grid=(n // cols,),
+        in_specs=in_specs,
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), ar.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interp,
+    )(ar, ai, plr, pli, twr, twi, fr, fi)
+
+
+def _panel_row_bwd_loop(j, v_stack, s_r, s_i, ar, ai, tabs, sigma, precision, interp):
+    n = ar.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    panel = pl.BlockSpec((rows, n), lambda i, j_ref: (i, 0))
+    stack = pl.BlockSpec((1, rows, n), lambda i, j_ref: (j_ref[0], i, 0))
+    const = lambda shp: pl.BlockSpec(shp, lambda i, j_ref: (0,) * len(shp))  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // rows,),
+        in_specs=[
+            stack, stack, stack, panel, panel,
+            const(twr.shape), const(twi.shape), const(fr.shape), const(fi.shape),
+        ],
+        out_specs=[panel] * 3,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _row_bwd_loop_kernel, sigma=ar.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, n), ar.dtype)] * 3,
+        compiler_params=_compiler_params(),
+        interpret=interp,
+    )(
+        jnp.asarray(j, jnp.int32).reshape(1), v_stack, s_r, s_i, ar, ai,
+        twr, twi, fr, fi,
+    )
+
+
+def _panel_row_bwd_last(v0, s0r, s0i, ar, ai, tabs, sigma, precision, interp):
+    n = ar.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 5, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(
+            _row_bwd_last_kernel, sigma=ar.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=[panel] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, n), ar.dtype)] * 3,
+        compiler_params=_compiler_params(),
+        interpret=interp,
+    )(v0, s0r, s0i, ar, ai, twr, twi, fr, fi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _panel_loop_diff(psi0, v_stack, propagator, sigma, precision):
+    """Whole-loop panel multislice with the store-s custom VJP."""
+    return _run_single(psi0, v_stack, propagator, sigma, precision, None)
+
+
+def _panel_loop_fwd(psi0, v_stack, propagator, sigma, precision):
+    n = psi0.shape[-1]
+    interp = _resolve_interpret(None)
+    prec = precision or jax.lax.Precision.HIGHEST
+    tabs = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(psi0.dtype), n)
+    plr, pli = jnp.real(pl_c), jnp.imag(pl_c)
+    rdt = jnp.real(psi0).dtype
+    v_cast = v_stack.astype(rdt)
+    s_len = v_cast.shape[0]
+
+    ar, ai, s0r, s0i = _panel_rowpass_init_store(
+        v_cast[0], jnp.real(psi0), jnp.imag(psi0), tabs, float(sigma), prec,
+        interp,
+    )
+
+    def body(carry, j):
+        ar, ai = carry
+        br, bi = panel_colpass(ar, ai, plr, pli, tabs, prec, interp)
+        ar, ai, sr, si = _panel_rowpass_mid_store(
+            j, v_cast, br, bi, tabs, float(sigma), prec, interp
+        )
+        return (ar, ai), (sr, si)
+
+    (ar, ai), (srs, sis) = jax.lax.scan(
+        body, (ar, ai), jnp.arange(1, s_len, dtype=jnp.int32)
+    )
+    br, bi = panel_colpass(ar, ai, plr, pli, tabs, prec, interp)
+    outr, outi = panel_final(br, bi, tabs, prec, interp)
+    out = jax.lax.complex(outr, outi)
+    # s-stack residual: s_0 prepended so index j matches slice j
+    s_r = jnp.concatenate([s0r[None], srs], axis=0)
+    s_i = jnp.concatenate([s0i[None], sis], axis=0)
+    return out, (s_r, s_i, v_cast, propagator)
+
+
+def _panel_loop_bwd(sigma, precision, res, g):
+    s_r, s_i, v_cast, propagator = res
+    n = s_r.shape[-1]
+    interp = _resolve_interpret(None)
+    prec = precision or jax.lax.Precision.HIGHEST
+    tabs = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(g.dtype), n)
+    plr, pli = jnp.real(pl_c), jnp.imag(pl_c)
+    s_len = v_cast.shape[0]
+
+    # seed: bar_b_{S-1} = (Fx^H)^T g = conj(fwd_op(conj(g)))
+    ar, ai = panel_rowfwd(jnp.real(g), -jnp.imag(g), tabs, prec, interp)
+    ai = -ai
+
+    def body(carry, j):
+        ar, ai = carry
+        cr, ci = _panel_col_bwd(ar, ai, plr, pli, tabs, prec, interp)
+        br, bi, dv = _panel_row_bwd_loop(
+            j, v_cast, s_r, s_i, cr, ci, tabs, float(sigma), prec, interp
+        )
+        return (br, bi), dv
+
+    (ar, ai), dvs = jax.lax.scan(
+        body, (ar, ai), jnp.arange(s_len - 1, 0, -1, dtype=jnp.int32)
+    )
+    cr, ci = _panel_col_bwd(ar, ai, plr, pli, tabs, prec, interp)
+    dpr, dpi, dv0 = _panel_row_bwd_last(
+        v_cast[0], s_r[0], s_i[0], cr, ci, tabs, float(sigma), prec, interp
+    )
+    # dvs came out in reverse slice order (j = S-1 .. 1)
+    dv = jnp.concatenate([dv0[None], dvs[::-1]], axis=0)
+    return jax.lax.complex(dpr, dpi), dv.astype(v_cast.dtype), None
+
+
+_panel_loop_diff.defvjp(_panel_loop_fwd, _panel_loop_bwd)
+
+
 def make_panel_slice_step(ny: int, nx: int, dtype=jnp.complex64, precision=None):
     """propagate.multislice ``slice_step`` on the panel passes — the
-    grad path at grids where no whole-plane kernel fits (2048^2)."""
+    per-slice grad form (composes with remat; the auto grad path prefers
+    the whole-loop store-s engine below when the residual fits)."""
     if ny != nx:
         raise ValueError(f"panel step needs a square grid, got ({ny}, {nx})")
     _axis_consts(ny)
@@ -481,6 +809,64 @@ def make_panel_slice_step(ny: int, nx: int, dtype=jnp.complex64, precision=None)
         )
 
     return step
+
+
+def make_panel_grad_engine(ny: int, nx: int, dtype=jnp.complex64, precision=None):
+    """Grad-capable whole-loop panel engine: the store-s custom VJP
+    (2 forward + 2 backward panel passes per slice, s-stack residual)
+    when the residual fits the measured HBM budget; the per-slice panel
+    VJP with sqrt-S remat otherwise (long horizons), and for complex
+    absorptive V or batched waves."""
+    if ny != nx:
+        raise ValueError(f"panel engine needs a square grid, got ({ny}, {nx})")
+    _axis_consts(ny)
+    _panel_sizes(ny)
+
+    def _per_slice(psi0, v_stack, propagator, sigma, remat):
+        step = make_panel_slice_step(ny, nx, dtype, precision)
+
+        def body(psi, v):
+            return step(psi, v, propagator, sigma), None
+
+        def one(p):
+            s = v_stack.shape[0]
+            if not remat or s % remat:
+                return jax.lax.scan(body, p, v_stack)[0]
+            chunks = v_stack.reshape(s // remat, remat, *v_stack.shape[1:])
+
+            @jax.checkpoint
+            def inner(psi, vc):
+                return jax.lax.scan(body, psi, vc)[0]
+
+            return jax.lax.scan(lambda q, c: (inner(q, c), None), p, chunks)[0]
+
+        if psi0.ndim == 3:
+            return jax.vmap(one)(psi0)
+        return one(psi0)
+
+    def whole_scan(psi0, v_stack, propagator, sigma):
+        psi0 = psi0.astype(dtype)
+        propagator = propagator.astype(dtype)
+        if jnp.iscomplexobj(v_stack) or psi0.ndim == 3:
+            return _per_slice(psi0, v_stack, propagator, sigma, None)
+        from .adjoint_scan import _STORE_CAP_BYTES
+
+        if v_stack.shape[0] * ny * nx * 8 > _STORE_CAP_BYTES:
+            from ..propagate import pick_remat_chunk
+
+            return _per_slice(
+                psi0, v_stack, propagator, sigma,
+                pick_remat_chunk(v_stack.shape[0]),
+            )
+        return _panel_loop_diff(
+            psi0, v_stack, propagator, float(sigma), precision
+        )
+
+    kind = {"bf16x3": "panel_fast", "bf16x1": "panel_draft"}.get(
+        precision, "panel"
+    )
+    return WholeScanEngine(whole_scan, kind, grad_capable=True,
+                           precision=precision)
 
 
 def _run_single(psi0, v_stack, propagator, sigma, precision, interpret):

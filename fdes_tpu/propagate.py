@@ -444,12 +444,14 @@ def make_slice_step(
             "bf16x3" if kind == "panel_fast" else jax.lax.Precision.HIGHEST
         )
         if grad:
-            # GRAD contexts get the per-slice custom-VJP form (three
-            # panel passes forward, four backward) — composes with
-            # lax.scan + remat_chunk like the fused per-slice engines
-            from .pallas.panel_scan import make_panel_slice_step
+            # GRAD contexts get the grad-capable whole-loop panel engine:
+            # the store-s custom VJP (2+2 panel passes per slice) when
+            # the s-stack residual fits the measured HBM budget, the
+            # per-slice panel VJP + sqrt-S remat for long horizons, and
+            # per-slice for complex V / batched waves
+            from .pallas.panel_scan import make_panel_grad_engine
 
-            return make_panel_slice_step(
+            return make_panel_grad_engine(
                 *shape, dtype=dtype or jnp.complex64, precision=precision
             )
         from .pallas.panel_scan import make_panel_scan

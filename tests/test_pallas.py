@@ -550,9 +550,12 @@ def test_panel_scan_tilt_series_vmap(fields, monkeypatch):
     )
 
 
-def test_panel_slice_step_grad_matches_xla(fields, monkeypatch):
-    """The per-slice panel step's custom VJP (the 2048^2 grad path) vs
-    XLA autodiff through the scan: dV and bar_psi0, multi-panel."""
+def test_panel_grad_matches_xla(fields, monkeypatch):
+    """The panel grad engine (the 2048^2 inverse path) vs XLA autodiff
+    through the scan: dV and bar_psi0, multi-panel, BOTH routes — the
+    whole-loop store-s custom VJP (2+2 passes/slice) and the per-slice
+    panel VJP + sqrt-S remat fallback past the store budget."""
+    import fdes_tpu.pallas.adjoint_scan as adj
     import fdes_tpu.pallas.panel_scan as ps
     from fdes_tpu.propagate import make_slice_step
 
@@ -566,7 +569,7 @@ def test_panel_slice_step_grad_matches_xla(fields, monkeypatch):
         (rng.normal(size=(3, n, n)) * 25.0).astype(np.float32)
     )
     step = make_slice_step("panel", shape=(n, n), dtype=psi.dtype, grad=True)
-    assert not hasattr(step, "whole_scan")
+    assert step.grad_capable and hasattr(step, "whole_scan")
 
     def loss_p(vv, p0):
         out = multislice(p0, vv, prop, sigma, slice_step=step)
@@ -587,11 +590,18 @@ def test_panel_slice_step_grad_matches_xla(fields, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gp_p), np.asarray(gp_x), atol=2e-5 * pscale
     )
-    # remat composes (the per-slice engine contract at long horizons)
-    out_r = multislice(psi, v_stack, prop, sigma, slice_step=step, remat_chunk=1)
-    ref_r = multislice(psi, v_stack, prop, sigma, slice_step=step)
+    # past the store budget the engine falls back to the per-slice panel
+    # VJP + sqrt-S remat — same gradients
+    monkeypatch.setattr(adj, "_STORE_CAP_BYTES", 1)
+    (lp2, (gv_p2, gp_p2)) = jax.value_and_grad(loss_p, argnums=(0, 1))(
+        v_stack, psi
+    )
+    np.testing.assert_allclose(float(lp2), float(lx), rtol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(out_r), np.asarray(ref_r), atol=1e-6
+        np.asarray(gv_p2), np.asarray(gv_x), atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_p2), np.asarray(gp_x), atol=2e-5 * pscale
     )
 
 
