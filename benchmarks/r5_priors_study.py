@@ -62,6 +62,11 @@ UNITS = {
     "ring2-tv4": (24, 2, 0.0, 1e-4, True, 1500, (0.02, 0.06)),
     "ring2-rich-unreg": (48, 3, 0.0, 0.0, False, 2000, (0.02, 0.06)),
     "ring2-rich-reg": (48, 3, 0.0, 1e-4, True, 2000, (0.02, 0.06)),
+    # tilt-RANGE sweep at full depth: real tomographic angles (3-11 deg)
+    # — the other axis of the information-content surface
+    "ring3-unreg": (24, 2, 0.0, 0.0, False, 1500, (0.05, 0.1, 0.15)),
+    "ring3-pos": (24, 2, 0.0, 0.0, True, 1500, (0.05, 0.1, 0.15)),
+    "ring3-rich-unreg": (48, 3, 0.0, 0.0, False, 2000, (0.05, 0.1, 0.15)),
 }
 
 

@@ -226,10 +226,10 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # xla 678 at the same accuracy classes — the HBM-staged MXU transform
     # the round-4 floor analysis predicted (1.5x / 2.6x); at 4096²
     # panel 246 at 1.9e-6 / panel_fast 378 at 3.6e-5 vs xla 96.8 (3.9x).
-    # GRAD contexts at 2048² get the per-slice panel custom-VJP step:
-    # value_and_grad of the unbatched 2048²x64 rollout 147.8 ms vs xla
-    # 213 (1.44x), grad-err 1.9e-5 / 1.26e-4 certified on chip; 4096²
-    # grad stays on xla (unmeasured).  Batched grad contexts keep xla
+    # GRAD contexts at 2048² get the whole-loop store-s panel adjoint:
+    # value_and_grad of the unbatched 2048²x64 rollout 109.8 ms (panel)
+    # / 73.7 ms (panel_fast) vs xla 213 (1.9x / 2.9x), grad-err 1.9e-5 /
+    # 1.26e-4 certified on chip; 4096² grad stays on xla (unmeasured).  Batched grad contexts keep xla
     # (batching measured to HURT at pod grids; panel grad vmap
     # unmeasured — batched FORWARD runs as a sequential lax.map and
     # keeps the panel win).
