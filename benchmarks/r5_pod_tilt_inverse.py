@@ -76,10 +76,14 @@ def main():
     for kind in kinds:
         step = make_slice_step(kind, shape=(n, n), grad=True, batch=1)
 
-        def loss_fn(v, psi0s, props, i_obs, st=step):
+        def loss_fn(v, psi0s, props, i_obs, st=step, kd=kind):
+            # panel grad rides the sequential map (forward.py note: the
+            # vmapped scalar-prefetch kernels do not lower on TPU, and
+            # batching hurts at pod grids regardless)
             sim = f.hrtem_tilt_series(
                 v, psi0s, props, sigma, ctf, slice_step=st,
                 remat_chunk=8 if st is None else None,
+                sequential=kd.startswith("panel"),
             )
             return l2_mismatch(sim, i_obs)
 

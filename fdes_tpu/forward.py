@@ -66,6 +66,7 @@ def hrtem_tilt_series(
     weights: jax.Array | None = None,
     remat_chunk: int | None = None,
     slice_step: Callable[..., jax.Array] | None = None,
+    sequential: bool = False,
 ) -> jax.Array:
     """(T, ny, nx) tilt series: vmap of full rollouts over (psi0, P) pairs.
 
@@ -75,6 +76,14 @@ def hrtem_tilt_series(
 
     ``weights``: when given, ``ctf`` is a (K, ny, nx) quadrature pack and
     each image is the explicit partial-coherence average over the K nodes.
+
+    ``sequential``: run tilts through ``lax.map`` instead of ``vmap`` —
+    REQUIRED with the panel grad engine at pod grids: batching was
+    measured to hurt there anyway (BASELINE.md), the sequential map
+    bounds the whole-loop adjoint's per-lane s-stack residual to ONE
+    tilt, and the vmapped scalar-prefetch kernels do not lower on TPU
+    (round-5 measurement note).  Gradients are identical (the summed dV
+    accumulates across map iterations by autodiff linearity).
     """
 
     def one(psi0, prop):
@@ -86,6 +95,10 @@ def hrtem_tilt_series(
             return hrtem_incoherent(psi, ctf, weights)
         return hrtem_image(psi, ctf)
 
+    if sequential:
+        return jax.lax.map(
+            lambda args: one(*args), (psi0_stack, propagator_stack)
+        )
     return jax.vmap(one)(psi0_stack, propagator_stack)
 
 
