@@ -76,34 +76,37 @@ def main():
     for kind in kinds:
         step = make_slice_step(kind, shape=(n, n), grad=True, batch=1)
 
-        def loss_fn(v, psi0s, props, i_obs, st=step, kd=kind):
+        def loss_fn(v, psi0s, props, ctf_a, i_obs, st=step, kd=kind):
             # panel grad rides the sequential map (forward.py note: the
             # vmapped scalar-prefetch kernels do not lower on TPU, and
-            # batching hurts at pod grids regardless)
+            # batching hurts at pod grids regardless).  ctf travels as an
+            # ARGUMENT: a device-array closure forces a trace-time
+            # readback — UNIMPLEMENTED through the tunnel (poisons the
+            # process; fdes_tpu/tunnel.py)
             sim = f.hrtem_tilt_series(
-                v, psi0s, props, sigma, ctf, slice_step=st,
+                v, psi0s, props, sigma, ctf_a, slice_step=st,
                 remat_chunk=8 if st is None else None,
                 sequential=kd.startswith("panel"),
             )
             return l2_mismatch(sim, i_obs)
 
         @jax.jit
-        def train_step(v, opt_state, psi0s, props, i_obs):
-            loss, g = jax.value_and_grad(loss_fn)(v, psi0s, props, i_obs)
+        def train_step(v, opt_state, psi0s, props, ctf_a, i_obs):
+            loss, g = jax.value_and_grad(loss_fn)(v, psi0s, props, ctf_a, i_obs)
             updates, opt_state = opt.update(g, opt_state, v)
             return optax.apply_updates(v, updates), opt_state, loss
 
         st0 = jax.jit(opt.init)(v0)
         t0 = time.time()
-        v, st_, loss = train_step(v0, st0, psi0s, props, i_obs)
+        v, st_, loss = train_step(v0, st0, psi0s, props, ctf, i_obs)
         fetch_scalar(loss, tries=120, wait_s=20.0)
         compile_s = time.time() - t0
-        v, st_, loss = train_step(v, st_, psi0s, props, i_obs)  # steady warmup
+        v, st_, loss = train_step(v, st_, psi0s, props, ctf, i_obs)  # steady warmup
         fetch_scalar(loss)
         reps = 4
         t0 = time.time()
         for _ in range(reps):
-            v, st_, loss = train_step(v, st_, psi0s, props, i_obs)
+            v, st_, loss = train_step(v, st_, psi0s, props, ctf, i_obs)
         fetch_scalar(loss)
         dt = (time.time() - t0) / reps
         rec = {
