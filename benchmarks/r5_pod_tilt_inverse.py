@@ -77,16 +77,16 @@ def main():
         step = make_slice_step(kind, shape=(n, n), grad=True, batch=1)
 
         def loss_fn(v, psi0s, props, ctf_a, i_obs, st=step, kd=kind):
-            # panel grad rides the sequential map (forward.py note: the
-            # vmapped scalar-prefetch kernels do not lower on TPU, and
-            # batching hurts at pod grids regardless).  ctf travels as an
-            # ARGUMENT: a device-array closure forces a trace-time
-            # readback — UNIMPLEMENTED through the tunnel (poisons the
-            # process; fdes_tpu/tunnel.py)
+            # FDES_TILT_SEQ=0 measures the vmapped composition instead
+            # of the sequential map.  ctf travels as an ARGUMENT: a
+            # device-array closure forces a trace-time readback —
+            # UNIMPLEMENTED through the tunnel (poisons the process;
+            # fdes_tpu/tunnel.py — this bug cost one measurement round)
             sim = f.hrtem_tilt_series(
                 v, psi0s, props, sigma, ctf_a, slice_step=st,
                 remat_chunk=8 if st is None else None,
-                sequential=kd.startswith("panel"),
+                sequential=(kd.startswith("panel")
+                            and os.environ.get("FDES_TILT_SEQ", "1") == "1"),
             )
             return l2_mismatch(sim, i_obs)
 

@@ -77,13 +77,13 @@ def hrtem_tilt_series(
     ``weights``: when given, ``ctf`` is a (K, ny, nx) quadrature pack and
     each image is the explicit partial-coherence average over the K nodes.
 
-    ``sequential``: run tilts through ``lax.map`` instead of ``vmap`` —
-    REQUIRED with the panel grad engine at pod grids: batching was
-    measured to hurt there anyway (BASELINE.md), the sequential map
-    bounds the whole-loop adjoint's per-lane s-stack residual to ONE
-    tilt, and the vmapped scalar-prefetch kernels do not lower on TPU
-    (round-5 measurement note).  Gradients are identical (the summed dV
-    accumulates across map iterations by autodiff linearity).
+    ``sequential``: run tilts through ``lax.map`` instead of ``vmap``.
+    Both compositions work with every engine (round-5 measurement at
+    2048²×32×4 tilts: vmapped panel adjoint 187.0 ms/iter vs sequential
+    193.9 — a wash); the sequential map exists for MEMORY control at
+    pod grids, where T simultaneous store-s s-stacks can outgrow HBM
+    while the map keeps one tilt's pipeline live at a time.  Gradients
+    are identical (the summed dV accumulates by autodiff linearity).
     """
 
     def one(psi0, prop):
