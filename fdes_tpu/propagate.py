@@ -221,11 +221,12 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     fscan1024_grad = is1024 and batch <= 1
     fscan1024_grad_fast = is1024 and batch <= 8
     # 2048²/4096² promote the panel-streamed engine (round 5, tpu_steps/
-    # tpu_accuracy.jsonl 2026-08-21): FORWARD at 2048² panel 1,003
-    # slice-props/s at 6.0e-6 exit err / panel_fast 1,761 at 7.4e-5, vs
-    # xla 678 at the same accuracy classes — the HBM-staged MXU transform
-    # the round-4 floor analysis predicted (1.5x / 2.6x); at 4096²
-    # panel 246 at 1.9e-6 / panel_fast 378 at 3.6e-5 vs xla 96.8 (3.9x).
+    # tpu_accuracy.jsonl 2026-08-21): FORWARD at 2048² panel 1,267
+    # slice-props/s at 6.0e-6 exit err (1,267 with the V scalar-prefetch
+    # final state) / panel_fast 1,993 at 7.4e-5, vs xla 678 at the same
+    # accuracy classes — the HBM-staged MXU transform the round-4 floor
+    # analysis predicted (1.9x / 2.9x); at 4096² panel 246 at 1.9e-6 /
+    # panel_fast 429 at 3.6e-5 vs xla 96.8 (4.4x).
     # GRAD contexts at 2048² get the whole-loop store-s panel adjoint:
     # value_and_grad of the unbatched 2048²x64 rollout 109.8 ms (panel)
     # / 73.7 ms (panel_fast) vs xla 213 (1.9x / 2.9x), grad-err 1.9e-5 /
