@@ -227,17 +227,17 @@ def _resolve_auto(kind: str, shape: tuple[int, int], grad: bool, batch: int) -> 
     # accuracy classes — the HBM-staged MXU transform the round-4 floor
     # analysis predicted (1.9x / 2.9x); at 4096² panel 246 at 1.9e-6 /
     # panel_fast 429 at 3.6e-5 vs xla 96.8 (4.4x).
-    # GRAD contexts at 2048² get the whole-loop store-s panel adjoint:
+    # GRAD contexts get the whole-loop store-s panel adjoint:
     # value_and_grad of the unbatched 2048²x64 rollout 109.8 ms (panel)
     # / 73.7 ms (panel_fast) vs xla 213 (1.9x / 2.9x), grad-err 1.9e-5 /
-    # 1.26e-4 certified on chip; 4096² grad stays on xla (unmeasured).  Batched grad contexts keep xla
-    # (batching measured to HURT at pod grids; panel grad vmap
-    # unmeasured — batched FORWARD runs as a sequential lax.map and
+    # 1.26e-4 certified on chip; at 4096²x16 it measures 125.5 / 81.8 ms
+    # vs xla 361.6 (2.9x / 4.4x), grad-err 8.3e-6 / 6.3e-5.  Batched
+    # grad contexts keep xla at the auto tier (tilt/probe series compose
+    # the unbatched adjoint via vmap or forward.hrtem_tilt_series
+    # (sequential=) — pod-grid tilt inverse measured 187 ms/4-tilt iter
+    # vs xla 1,099; batched FORWARD runs as a sequential lax.map and
     # keeps the panel win).
-    panel_ok = ny == nx and (
-        (ny == 2048 and (not grad or batch <= 1))
-        or (ny == 4096 and not grad)
-    )
+    panel_ok = ny == nx and ny in (2048, 4096) and (not grad or batch <= 1)
     if kind == "auto":
         if fscan_ok:
             # fastest accuracy tier at EVERY measured batch (512²: 11.1k

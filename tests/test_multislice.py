@@ -266,11 +266,13 @@ def test_make_slice_step_auto_tiers():
     assert _resolve_auto("auto_fast", (2048, 2048), True, 1) == "panel_fast"
     assert _resolve_auto("auto", (2048, 2048), False, 1) == "panel"
     assert _resolve_auto("auto_fast", (2048, 2048), False, 8) == "panel_fast"
-    # 4096^2 forward promoted too (certified: 1.9e-6 / 3.6e-5; 3.9x);
-    # grad there stays on xla until measured
+    # 4096^2 promoted too (forward certified 1.9e-6 / 3.6e-5, 4.4x;
+    # grad 8.3e-6 / 6.3e-5, 2.9x / 4.4x — whole-loop panel adjoint)
     assert _resolve_auto("auto", (4096, 4096), False, 1) == "panel"
     assert _resolve_auto("auto_fast", (4096, 4096), False, 1) == "panel_fast"
-    assert _resolve_auto("auto", (4096, 4096), True, 1) == "xla"
+    assert _resolve_auto("auto", (4096, 4096), True, 1) == "panel"
+    assert _resolve_auto("auto_fast", (4096, 4096), True, 1) == "panel_fast"
+    assert _resolve_auto("auto", (4096, 4096), True, 8) == "xla"
     # non-128*2^m axes cannot take the radix engines: fall back, never crash
     assert _resolve_auto("auto", (384, 384), True, 16) == "mxu"
     assert _resolve_auto("auto_fast", (384, 384), True, 16) == "mxu_fast"
