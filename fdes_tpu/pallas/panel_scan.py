@@ -33,7 +33,9 @@ pre-permuted in both axes and 1/N^2-folded, fused_step._prepared_prop),
 and the inverse-row + next-transmit + forward-row fusion makes the row
 work of two adjacent slices ONE pass.
 
-Square grids, N = r*128 with r in {2, 4, 8, 16, 32}; real V.  The
+Square grids, N = r*128 with r in {2, 4, 8, 16, 32}; real V, or
+complex absorptive V through damped-transmit kernel variants (forward
+whole-loop only — absorptive GRAD falls back per-slice).  The
 whole-loop engine (make_panel_scan) is forward-only; GRAD contexts ride
 panel_slice_step — the per-slice custom-VJP form (3 passes forward, 3
 backward with the tail fused into the final row pass) that composes with
@@ -135,6 +137,50 @@ def _row_mid_stack_kernel(
     phase = sigma * v_ref[0]
     c = jnp.cos(phase)
     s = jnp.sin(phase)
+    tr = zr * c - zi * s
+    ti = zr * s + zi * c
+    zr, zi = _fft_x(
+        tr, ti, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _row_init_abs_kernel(
+    vr_ref, vi_ref, pr_ref, pi_ref, twr, twi, fr, fi, or_ref, oi_ref,
+    *, sigma, radix, precision,
+):
+    """_row_init_kernel for ABSORPTIVE complex V: t = exp(-sigma*Vi) *
+    exp(i*sigma*Vr) (propagate.transmit's optical-potential channel)."""
+    phase = sigma * vr_ref[:]
+    damp = jnp.exp(-sigma * vi_ref[:])
+    c = damp * jnp.cos(phase)
+    s = damp * jnp.sin(phase)
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    zr = pr * c - pi * s
+    zi = pr * s + pi * c
+    zr, zi = _fft_x(
+        zr, zi, radix, twr[:], twi[:], fr[:], fi[:], precision, adjoint=False
+    )
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def _row_mid_stack_abs_kernel(
+    j_ref, vr_ref, vi_ref, ar_ref, ai_ref, twr, twi, fr, fi,
+    or_ref, oi_ref, *, sigma, radix, precision,
+):
+    """_row_mid_stack_kernel for ABSORPTIVE complex V (damped transmit),
+    V real/imag planes scalar-prefetch-indexed from their stacks."""
+    zr, zi = _fft_x(
+        ar_ref[:], ai_ref[:], radix, twr[:], twi[:], fr[:], fi[:],
+        precision, adjoint=True,
+    )
+    phase = sigma * vr_ref[0]
+    damp = jnp.exp(-sigma * vi_ref[0])
+    c = damp * jnp.cos(phase)
+    s = damp * jnp.sin(phase)
     tr = zr * c - zi * s
     ti = zr * s + zi * c
     zr, zi = _fft_x(
@@ -325,6 +371,58 @@ def panel_rowpass_stack(j, v_stack, br, bi, tabs, sigma, precision, interpret):
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(jnp.asarray(j, jnp.int32).reshape(1), v_stack, br, bi, twr, twi, fr, fi)
+
+
+def _panel_init_abs(vr0, vi0, psir, psii, tabs, sigma, precision, interpret):
+    n = psir.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    in_specs, panel = _row_specs(n, rows, 4, _const_shapes(twr, fr))
+    return pl.pallas_call(
+        functools.partial(
+            _row_init_abs_kernel, sigma=psir.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=[panel] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n), psir.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(vr0, vi0, psir, psii, twr, twi, fr, fi)
+
+
+def _panel_rowpass_stack_abs(
+    j, vr_stack, vi_stack, br, bi, tabs, sigma, precision, interpret
+):
+    n = br.shape[-1]
+    rows, _ = _panel_sizes(n)
+    r, twr, twi, fr, fi = tabs
+    panel = pl.BlockSpec((rows, n), lambda i, j_ref: (i, 0))
+    stack = pl.BlockSpec((1, rows, n), lambda i, j_ref: (j_ref[0], i, 0))
+    const = lambda shp: pl.BlockSpec(shp, lambda i, j_ref: (0,) * len(shp))  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // rows,),
+        in_specs=[
+            stack, stack, panel, panel,
+            const(twr.shape), const(twi.shape), const(fr.shape), const(fi.shape),
+        ],
+        out_specs=[panel] * 2,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _row_mid_stack_abs_kernel, sigma=br.dtype.type(sigma), radix=r,
+            precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, n), br.dtype)] * 2,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(
+        jnp.asarray(j, jnp.int32).reshape(1), vr_stack, vi_stack, br, bi,
+        twr, twi, fr, fi,
+    )
 
 
 def panel_rowpass(v_next, br, bi, tabs, sigma, precision, interpret):
@@ -906,6 +1004,43 @@ def _run_single(psi0, v_stack, propagator, sigma, precision, interpret):
     return jax.lax.complex(outr, outi)
 
 
+def _run_single_abs(psi0, v_stack, propagator, sigma, precision, interpret):
+    """_run_single for ABSORPTIVE complex V: the damped transmit runs in
+    the same row kernels (round 5 — complex V previously fell back to the
+    xla scan, 3x slower at pod grids)."""
+    n = psi0.shape[-1]
+    interp = _resolve_interpret(interpret)
+    precision = precision or jax.lax.Precision.HIGHEST
+    tabs = _tables(n)
+    pl_c = _prepared_prop(propagator.astype(psi0.dtype), n)
+    plr, pli = jnp.real(pl_c), jnp.imag(pl_c)
+    rdt = jnp.real(psi0).dtype
+    sigma = float(sigma)
+    vr = jnp.real(v_stack).astype(rdt)
+    vi = jnp.imag(v_stack).astype(rdt)
+
+    ar, ai = _panel_init_abs(
+        vr[0], vi[0], jnp.real(psi0), jnp.imag(psi0), tabs, sigma,
+        precision, interp,
+    )
+
+    def body(carry, j):
+        ar, ai = carry
+        br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
+        ar, ai = _panel_rowpass_stack_abs(
+            j, vr, vi, br, bi, tabs, sigma, precision, interp
+        )
+        return (ar, ai), None
+
+    s_len = vr.shape[0]
+    (ar, ai), _ = jax.lax.scan(
+        body, (ar, ai), jnp.arange(1, s_len, dtype=jnp.int32)
+    )
+    br, bi = panel_colpass(ar, ai, plr, pli, tabs, precision, interp)
+    outr, outi = panel_final(br, bi, tabs, precision, interp)
+    return jax.lax.complex(outr, outi)
+
+
 def _row_g_kernel(
     g_ref, twr, twi, fr, fi, or_ref, oi_ref, *, radix, precision
 ):
@@ -1130,8 +1265,8 @@ def make_panel_scan(
     2048^2 engine (any square N = r*128, r in {2,4,8,16}, divisible by the
     panel extents).
 
-    Forward-only, real V (complex absorptive V falls back to the xla
-    scan, the per-slice engine class that handles it at this grid).
+    Forward-only; complex absorptive V runs through damped-transmit
+    variants of the row kernels (round 5 — no more xla-scan fallback).
     Batched (B, n, n) waves run as a sequential lax.map — batching was
     measured to HURT at pod grids (xla 676 unbatched vs 330 at b8,
     tpu_steps.jsonl r3: HBM-bound), so the panel engine keeps the HBM
@@ -1146,26 +1281,16 @@ def make_panel_scan(
     def whole_scan(psi0, v_stack, propagator, sigma):
         psi0 = psi0.astype(dtype)
         propagator = propagator.astype(dtype)
-        if jnp.iscomplexobj(v_stack):
-            from ..propagate import default_slice_step
-
-            def body(psi, v):
-                return default_slice_step(psi, v, propagator, sigma), None
-
-            if psi0.ndim == 3:
-                return jax.vmap(
-                    lambda p: jax.lax.scan(body, p, v_stack)[0]
-                )(psi0)
-            return jax.lax.scan(body, psi0, v_stack)[0]
         sigma = float(sigma)
+        run = (
+            _run_single_abs if jnp.iscomplexobj(v_stack) else _run_single
+        )
         if psi0.ndim == 3:
             return jax.lax.map(
-                lambda p: _run_single(
-                    p, v_stack, propagator, sigma, precision, None
-                ),
+                lambda p: run(p, v_stack, propagator, sigma, precision, None),
                 psi0,
             )
-        return _run_single(psi0, v_stack, propagator, sigma, precision, None)
+        return run(psi0, v_stack, propagator, sigma, precision, None)
 
     kind = {"bf16x3": "panel_fast", "bf16x1": "panel_draft"}.get(
         precision, "panel"
