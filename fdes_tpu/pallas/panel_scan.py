@@ -37,10 +37,11 @@ Square grids, N = r*128 with r in {2, 4, 8, 16, 32}; real V, or
 complex absorptive V through damped-transmit kernel variants (forward
 whole-loop only — absorptive GRAD falls back per-slice).  The
 whole-loop engine (make_panel_scan) is forward-only; GRAD contexts ride
-panel_slice_step — the per-slice custom-VJP form (3 passes forward, 3
-backward with the tail fused into the final row pass) that composes with
-lax.scan + remat: 2048^2 value_and_grad measured 166 ms (4-pass bwd) vs
-xla 213 at 64 slices, grad-err 1.9e-5/1.26e-4 certified on chip.  The building blocks
+the whole-loop store-s panel adjoint (2+2 passes/slice — 2048^2
+value_and_grad 109.8/73.7 ms vs xla 213 at 64 slices; 4096^2 125.5/81.8
+vs 361.6; grad-err 1.9e-5/1.26e-4 and 8.3e-6/6.3e-5 certified on chip),
+with panel_slice_step (per-slice custom VJP, composes with remat) as the
+long-horizon fallback.  The building blocks
 (panel_init / panel_colpass / panel_rowpass / panel_final) are
 module-level so the streamed forward (potential built on the fly,
 panel_streamed — including a panel-staged BUILD) composes with them.
